@@ -1,0 +1,56 @@
+"""Typed configuration for the stereo engine.
+
+Replaces the reference's three config mechanisms — ojw_default_options.m
+(per-algorithm defaults struct), validating property setters
+(dispmap_super.m:39-56), and the C++ MexParams key/value parser
+(cpp/utils/mexutils.h:52-95) — with one frozen dataclass tree that is hashable
+(usable as a jit static argument) and serializable with a run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """Fusion / message-passing budgets (dispmap_super.m:8-13)."""
+
+    maxiter: int = 1000
+    max_relgap: float = 1e-4
+    improve: bool = False  # run QPBO-I on unlabelled nodes (rd_mex.cpp:91-92)
+
+    def __post_init__(self):
+        if self.max_relgap < 0:
+            raise ValueError("Maximum relative gap must be non-negative")
+
+
+@dataclass(frozen=True)
+class CVPR08Options:
+    """The 'cvpr08' defaults of ojw_default_options.m:58-83 (used subset)."""
+
+    disp_thresh: float = 0.02
+    smoothness_kernel: int = 1  # 1: truncated linear, 2: truncated quadratic
+    col_thresh: float = 30.0
+    lambda_l: float = 9.0
+    lambda_h: float = 108.0
+    seg_params: tuple = (4, 5, 0)
+    connect: int = 4
+    improve: int = 4
+    max_iters: int = 3000
+    converge: float = 0.01
+    average_over: int = 20
+    window: int = 2
+    visibility: bool = True
+    planar: bool = True
+
+    def __post_init__(self):
+        if self.smoothness_kernel not in (1, 2):
+            raise ValueError("smoothness_kernel must be 1 or 2")
+        if self.connect not in (4, 8):
+            raise ValueError("connect must be 4 or 8")
+
+
+def cvpr08_options(**overrides) -> CVPR08Options:
+    return dataclasses.replace(CVPR08Options(), **overrides)

@@ -1,0 +1,29 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(xla_force_host_platform_device_count); numerical parity tests against serial
+oracles run in float64.
+
+NOTE: the environment preloads jax at interpreter start (axon sitecustomize)
+with JAX_PLATFORMS=axon, so we must *override* (not setdefault) and also set
+the in-process config — backends initialize lazily, so this still takes effect
+as long as no jax computation ran before conftest import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"
