@@ -1,0 +1,279 @@
+"""Bipartite (checkerboard) TRW-S for simultaneous fusion on the pixel grid.
+
+TPU-native re-design of the reference's sequential TRW-S
+(cpp/trw-s/minimize.cpp:31-116, typeStereoLinear.h:329-487,
+typeStereoQuadratic.h).  Key idea: the 4-connected grid is bipartite; choosing
+the node ordering "all black (y+x even) before all white" makes every
+monotonic chain a single edge, and TRW-S's forward/backward sweeps collapse
+into two *fully parallel* phases:
+
+  forward  = every edge updates its message from its black endpoint,
+  backward = every edge updates its message from its white endpoint,
+
+with the per-node weights gamma = 1/max(nForward, nBackward)
+(treeProbabilities.cpp:12-47) becoming gamma(p) = 1 / (2 * #neighbors(p))
+(each neighbor pair carries two directed edges, one per measurement endpoint —
+see stereo_tpu.energy).  This is *exactly* TRW-S for that ordering (no
+approximation): within a phase no two updated nodes are adjacent, so the
+parallel update equals the sequential one.  The lower bound is therefore
+monotonically non-decreasing and identical in meaning to the reference's
+(minimize.cpp:67-94); the stopping rule is the same
+relative-gap / max-iteration test (minimize.cpp:100-112).
+
+Potential family (the papers' custom edge type): for the directed edge
+(tail n -> head p),
+
+    V(k_n, k_p) = alpha_e * min(|Q[k_n] - D0[k_p]|^kernel, tol)
+
+where Q[k] / D0[k] are the *continuous* disparities of label k's plane from n
+resp. p evaluated at p's point.  The reference computes message updates in
+O(K) with a lower-envelope distance transform over sorted positions
+(typeStereoLinear.h:398-479); labels here are few (K <= ~32) while pixels are
+~10^5, so the TPU-native choice is the opposite: a dense O(K^2) min-plus
+reduction vectorized over all pixels — no sorts, no data-dependent loops, pure
+VPU work.  (An envelope-scan path for large K can slot in behind the same
+interface.)
+
+Message storage: one buffer per directed edge, M[d][k, y, x] = the message on
+edge E(p, d) := (tail = neighbor of p in direction DIRS[d] -> head p), stored
+at the head pixel.  Like the reference's single per-edge vector
+(typeStereoLinear.h:274-311), its index meaning alternates: after the black
+phase every buffer is a function of its white endpoint's labels and vice
+versa.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_tpu import geometry
+from stereo_tpu.energy import truncated_kernel
+from stereo_tpu.geometry import DIRS, NUM_DIRS, OPP
+
+
+class TRWSResult(NamedTuple):
+    labels: jax.Array  # [H, W] int32, argmin label per pixel
+    energy: jax.Array  # scalar: energy of the decoded labeling
+    lower_bound: jax.Array  # scalar: TRW-S dual lower bound
+    iterations: jax.Array  # scalar int32
+    messages: jax.Array  # [4, K, H, W] final message state
+
+
+def checkerboard(H: int, W: int) -> jax.Array:
+    """[H, W] int32: 0 for black (y+x even, processed first), 1 for white."""
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    return ((ys + xs) % 2).astype(jnp.int32)
+
+
+def node_gamma(H: int, W: int, dtype=jnp.float32) -> jax.Array:
+    """gamma(p) = 1 / (2 * #neighbors(p)): the monotonic-chain weight.
+
+    With the bipartite ordering every incident directed edge of a node points
+    the same way, so max(nFwd, nBwd) = #incident edges = 2 * #neighbors.
+    """
+    deg = jnp.zeros((H, W), dtype)
+    for d in range(NUM_DIRS):
+        deg = deg + geometry.valid_mask(H, W, d, dtype=dtype)
+    return 1.0 / (2.0 * deg)
+
+
+def _node_beliefs(theta: jax.Array, M: jax.Array) -> jax.Array:
+    """theta + sum of all 8 incident message buffers, for every pixel.
+
+    Valid only at pixels whose incident buffers currently point *into* them;
+    callers mask by checkerboard color.
+    """
+    D = theta
+    for d in range(NUM_DIRS):
+        # in-edge buffers E(p, d) live at p
+        D = D + M[d]
+        # out-edge buffers E(n, OPP(d)) live at the neighbor n = p + DIRS[d]
+        D = D + geometry.shift_from_neighbor(M[OPP[d]], d, fill=0.0)
+    return D
+
+
+def _minplus(H_src, src_pos, dst_pos, alpha, kernel: int, tol):
+    """msg[j] = min_i (H_src[i] + alpha * TR(|src_pos[i] - dst_pos[j]|)).
+
+    All of H_src, src_pos, dst_pos are [K, H, W]; alpha is [H, W].
+    Returns [K, H, W].  Dense min-plus: the TPU replacement for the
+    reference's O(K) lower-envelope scan (typeStereoLinear.h:398-479).
+    """
+    K = dst_pos.shape[0]
+    out = []
+    for j in range(K):
+        c = truncated_kernel(src_pos - dst_pos[j][None], kernel, tol)
+        out.append(jnp.min(H_src + alpha[None] * c, axis=0))
+    return jnp.stack(out, axis=0)
+
+
+def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
+           accumulate_lb):
+    """One half-iteration: update every edge's message from its `color` endpoint.
+
+    Returns (new_M, lb_nodes, lb_msgs); the lb terms are zero arrays unless
+    accumulate_lb (the white/backward phase, minimize.cpp:67-94).
+    """
+    dtype = theta.dtype
+    Dall = _node_beliefs(theta, M)
+    phase_mask = (cb == color)
+
+    lb_nodes = jnp.zeros((), dtype)
+    if accumulate_lb:
+        vminD = jnp.min(Dall, axis=0)  # [H, W]
+        Dall = Dall - vminD[None]
+        lb_nodes = jnp.sum(jnp.where(phase_mask, vminD, 0.0),
+                           dtype=jnp.promote_types(dtype, jnp.float32))
+
+    gD = gamma[None] * Dall  # [K, H, W]
+
+    newM = []
+    lb_msgs = jnp.zeros((), dtype)
+    for d in range(NUM_DIRS):
+        a = alphas[d]
+        # Edge E(p, d): head p, tail n = p + DIRS[d].  Exactly one endpoint has
+        # the phase color.
+        # Variant A — source is the tail n: H[k] = gamma_n * D_n[k] - msg[k],
+        # envelope over the tail's positions Q[d], evaluated at D0.
+        H_A = geometry.shift_from_neighbor(gD, d, fill=0.0) - M[d]
+        msgA = _minplus(H_A, Q[d], D0, a, kernel, tol)
+        # Variant B — source is the head p: evaluated at the tail's positions.
+        H_B = gD - M[d]
+        msgB = _minplus(H_B, D0, Q[d], a, kernel, tol)
+
+        src_is_head = phase_mask  # head p is the source iff p has phase color
+        msg = jnp.where(src_is_head[None], msgB, msgA)
+        vmin = jnp.min(msg, axis=0)
+        msg = (msg - vmin[None]) * valid[d][None]
+        newM.append(msg)
+        if accumulate_lb:
+            lb_msgs = lb_msgs + jnp.sum(
+                jnp.where(valid[d] > 0, vmin, 0.0),
+                dtype=jnp.promote_types(dtype, jnp.float32),
+            )
+    return jnp.stack(newM, axis=0), lb_nodes, lb_msgs
+
+
+def _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol):
+    """Greedy conditioned decode + exact energy of the decoded labeling.
+
+    Mirrors ComputeSolutionAndEnergy (minimize.cpp:223-264): blacks decode from
+    beliefs (all buffers point into blacks after the white phase); whites
+    decode conditioned on their black neighbors' solutions.
+    """
+    D_black = _node_beliefs(theta, M)
+    sol_black = jnp.argmin(D_black, axis=0).astype(jnp.int32)  # [H, W]
+
+    # whites: theta + sum over the 8 incident edges of V(. , sol_neighbor)
+    cost = theta
+    for d in range(NUM_DIRS):
+        # in-edge E(p, d): V(k_n, k_p) with k_n fixed to the neighbor's label:
+        # alpha[d, p] * TR(|Q[d, sol_n, p] - D0[k, p]|)
+        sol_n = geometry.shift_from_neighbor(sol_black, d, fill=0)
+        Q_sel = jnp.take_along_axis(Q[d], sol_n[None], axis=0)[0]  # [H, W]
+        cost = cost + alphas[d][None] * truncated_kernel(
+            Q_sel[None] - D0, kernel, tol
+        )
+        # out-edge E(n, OPP(d)) at neighbor n: V(k_p, k_n') as function of k_p,
+        # alpha[OPP(d), n] * TR(|Q[OPP(d), k, n] - D0[sol_n', n]|), brought to p.
+        D0_sel = jnp.take_along_axis(D0, sol_black[None], axis=0)[0]
+        t = alphas[OPP[d]][None] * truncated_kernel(Q[OPP[d]] - D0_sel[None],
+                                                    kernel, tol)
+        cost = cost + geometry.shift_from_neighbor(t, d, fill=0.0)
+
+    sol_white = jnp.argmin(cost, axis=0).astype(jnp.int32)
+    labels = jnp.where(cb == 0, sol_black, sol_white)
+
+    energy = labeling_energy(labels, theta, D0, Q, alphas, kernel, tol)
+    return labels, energy
+
+
+def labeling_energy(labels, theta, D0, Q, alphas, kernel, tol):
+    """Exact MRF energy of an integer labeling [H, W] under the solver's data."""
+    acc_dtype = jnp.promote_types(theta.dtype, jnp.float32)
+    u = jnp.take_along_axis(theta, labels[None], axis=0)[0]
+    E = jnp.sum(u, dtype=acc_dtype)
+    D0_sel = jnp.take_along_axis(D0, labels[None], axis=0)[0]
+    for d in range(NUM_DIRS):
+        sol_n = geometry.shift_from_neighbor(labels, d, fill=0)
+        Q_sel = jnp.take_along_axis(Q[d], sol_n[None], axis=0)[0]
+        c = alphas[d] * truncated_kernel(Q_sel - D0_sel, kernel, tol)
+        E = E + jnp.sum(c, dtype=acc_dtype)
+    return E
+
+
+def solve(
+    unary: jax.Array,  # [K, H, W]
+    positions: jax.Array,  # D0 [K, H, W]: label k's plane at p, eval at p
+    nbr_positions: jax.Array,  # Q [4, K, H, W]: label k's plane at neighbor, eval at p
+    alphas: jax.Array,  # [4, H, W] directed-edge weights (0 at borders)
+    *,
+    kernel: int,
+    tol,
+    maxiter: int = 1000,
+    max_relgap: float = 1e-4,
+    messages: jax.Array | None = None,  # warm start [4, K, H, W]
+) -> TRWSResult:
+    """Run checkerboard TRW-S to the reference's stopping rule.
+
+    Equivalent of trws_mex.cpp:27-147 + Minimize_TRW_S (minimize.cpp:31-116).
+    """
+    K, H, W = unary.shape
+    dtype = unary.dtype
+    theta = unary
+    D0 = positions
+    Q = nbr_positions
+    cb = checkerboard(H, W)
+    gamma = node_gamma(H, W, dtype)
+    valid = jnp.stack(
+        [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(NUM_DIRS)], 0
+    )
+
+    if messages is None:
+        messages = jnp.zeros((NUM_DIRS, K, H, W), dtype)
+
+    def one_iteration(M):
+        # forward: black phase, no LB bookkeeping (minimize.cpp:33-62)
+        M, _, _ = _phase(theta, M, D0, Q, alphas, valid, gamma, cb, 0,
+                         kernel, tol, accumulate_lb=False)
+        # backward: white phase with LB accumulation (minimize.cpp:64-95)
+        M, lb_nodes, lb_msgs = _phase(theta, M, D0, Q, alphas, valid, gamma,
+                                      cb, 1, kernel, tol, accumulate_lb=True)
+        # blacks contribute their belief minima to the bound (they have no
+        # backward edges; minimize.cpp:69-83 visits them at the end of the
+        # descending sweep)
+        D_black = _node_beliefs(theta, M)
+        lb_black = jnp.sum(
+            jnp.where(cb == 0, jnp.min(D_black, axis=0), 0.0),
+            dtype=jnp.promote_types(dtype, jnp.float32),
+        )
+        lb = lb_nodes + lb_msgs + lb_black
+        labels, energy = _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol)
+        return M, energy, lb, labels
+
+    def cond(state):
+        M, it, energy, lb, labels = state
+        relgap = jnp.where(energy != 0, (energy - lb) / energy, 0.0)
+        return jnp.logical_and(
+            it < maxiter, jnp.logical_or(it == 0, relgap >= max_relgap)
+        )
+
+    def body(state):
+        M, it, _, _, _ = state
+        M, energy, lb, labels = one_iteration(M)
+        return (M, it + 1, energy, lb, labels)
+
+    zero = jnp.zeros((), dtype)
+    state0 = (
+        messages,
+        jnp.zeros((), jnp.int32),
+        zero,
+        zero,
+        jnp.zeros((H, W), jnp.int32),
+    )
+    M, iters, energy, lb, labels = jax.lax.while_loop(cond, body, state0)
+    return TRWSResult(labels, energy, lb, iters, M)
