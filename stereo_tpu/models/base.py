@@ -1,0 +1,199 @@
+"""Model base: plane-label state + fusion drivers.
+
+The TPU-native counterpart of dispmap_super.m: owns the plane-label field
+[4, H, W], the per-direction smoothness weight maps [4, H, W], the cached
+energy, and the two fusion drivers (binary_fusion / binary_fuse_until
+convergence, dispmap_super.m:61-152; simultaneous_fusion :153-198).
+
+Functional core / stateful shell: all device work happens in jitted functions
+keyed by static (kernel, K, shapes); the class only sequences them and holds
+HBM-resident state, so repeated fusions reuse one compiled program and the
+label field never leaves the device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_tpu import energy, geometry
+from stereo_tpu.solvers import binary, trws
+
+
+class DispMap:
+    """Abstract base; subclasses provide ``unary_map`` and ``tol``."""
+
+    # optional (d_min, d_step) disparity normalization applied inside all
+    # pairwise terms (dispmap_globalstereo.m:336-345)
+    normalize: tuple | None = None
+
+    def __init__(self, images, kernel: int, *, maxiter: int = 1000,
+                 max_relgap: float = 1e-4, improve: bool = False):
+        self.images = [jnp.asarray(im) for im in images]
+        H, W = self.images[0].shape[:2]
+        self.sz = (H, W)
+        if kernel not in (1, 2):
+            raise ValueError("Unknown kernel type")
+        self.smoothness_kernel = kernel
+        self.maxiter = maxiter
+        self.max_relgap = max_relgap
+        self.improve = improve
+        self.dtype = self.images[0].dtype
+        self.smooth_weights = energy.default_weights(H, W, dtype=self.dtype)
+        self._assignment = None
+        self._stored_energy = float("inf")
+
+    # ------------------------------------------------------------- state
+    @property
+    def assignment(self) -> jax.Array:
+        return self._assignment
+
+    @assignment.setter
+    def assignment(self, planes):
+        self._assignment = jnp.asarray(planes, self.dtype)
+        self._update_energy()
+
+    def energy(self) -> float:
+        return self._stored_energy
+
+    def _update_energy(self):
+        e = _total_energy(
+            self._assignment, self.smooth_weights,
+            self.unary_map(self._assignment),
+            self.smoothness_kernel, self.tol, self.normalize,
+        )
+        self._stored_energy = float(e)
+
+    # ---------------------------------------------------------- abstract
+    def unary_map(self, planes: jax.Array) -> jax.Array:
+        """Per-pixel unary cost of a plane field. [4,H,W] -> [H,W]."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ fusion
+    def binary_fusion(self, proposal) -> tuple[float, float]:
+        """One fusion move (dispmap_super.m:61-84). Never increases energy.
+
+        Returns (energy, lower_bound).
+        """
+        proposal = jnp.asarray(proposal, self.dtype)
+        if proposal.shape != self._assignment.shape:
+            raise ValueError("Binary fusion: proposal is of wrong size")
+        fused, e, lb = _binary_fusion_step(
+            self._assignment, proposal,
+            self.unary_map(self._assignment), self.unary_map(proposal),
+            self.smooth_weights, self.smoothness_kernel, self.tol,
+            self.normalize,
+        )
+        self._assignment = fused
+        self._stored_energy = float(e)
+        return self._stored_energy, float(lb)
+
+    def binary_fuse_until_convergence(self, proposals, seed: int = 0,
+                                      verbose: bool = False) -> int:
+        """Randomized sweep until no proposal improves the energy
+        (dispmap_super.m:85-152).  Deterministic given ``seed`` (the
+        reference's MATLAB rand stream is replaced by an explicit PRNG).
+        """
+        n = len(proposals)
+        rng = np.random.default_rng(seed)
+        ids = np.concatenate([np.arange(n), rng.integers(0, n, self.maxiter * 5)])
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = np.diff(ids) != 0  # drop immediate repeats
+        ids = ids[keep]
+
+        visited = np.zeros(n, dtype=bool)
+        energies = [self.energy()]
+        for it in range(min(self.maxiter, len(ids))):
+            pid = int(ids[it])
+            if visited[pid]:
+                continue
+            self.binary_fusion(proposals[pid])
+            energies.append(self.energy())
+            if energies[-1] != energies[-2]:
+                visited[:] = False
+            else:
+                visited[pid] = True
+            if verbose:
+                print(f"fuse #{it} proposal {pid}: E = {energies[-1]:.6g}")
+            if visited.all():
+                break
+        return len(energies)
+
+    def simultaneous_fusion(self, proposals) -> tuple[float, float, int]:
+        """Fuse all proposals at once with TRW-S (dispmap_super.m:153-198).
+
+        The incumbent assignment joins as the last label (:158).
+        Returns (energy, lower_bound, iterations).
+        """
+        all_props = [jnp.asarray(p, self.dtype) for p in proposals]
+        all_props.append(self._assignment)
+        stack = jnp.stack(all_props, axis=0)  # [K, 4, H, W]
+        unary = jnp.stack([self.unary_map(p) for p in all_props], axis=0)
+        labels, e, lb, iters = _simultaneous_fusion_step(
+            stack, unary, self.smooth_weights, self.smoothness_kernel,
+            self.tol, self.normalize, self.maxiter, self.max_relgap,
+        )
+        self._assignment = jnp.take_along_axis(
+            stack, labels[None, None, :, :].astype(jnp.int32), axis=0
+        )[0]
+        self._stored_energy = float(e)
+        return self._stored_energy, float(lb), int(iters)
+
+    # ------------------------------------------------------------- views
+    def current_dispmap(self) -> jax.Array:
+        d = geometry.own_disparity(self._assignment)
+        if self.normalize is not None:
+            d = (d - self.normalize[0]) / self.normalize[1]
+        return d
+
+    def __repr__(self):
+        H, W = self.sz
+        return (
+            f"{type(self).__name__}(size=({H},{W}), kernel={self.smoothness_kernel}, "
+            f"energy={self._stored_energy:.6g}, maxiter={self.maxiter}, "
+            f"max_relgap={self.max_relgap})"
+        )
+
+
+# ---------------------------------------------------------------- jitted core
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
+def _total_energy(planes, weights, unary, kernel, tol, normalize):
+    return energy.total_energy(unary, planes, weights, kernel, tol, normalize)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
+def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normalize):
+    D0, Q = binary.fusion_problem(current, proposal, normalize)
+    res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol)
+    fused = energy.fuse_labelling(current, proposal, res.take)
+    return fused, res.energy, res.lower_bound
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "normalize", "maxiter", "max_relgap")
+)
+def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize,
+                              maxiter, max_relgap):
+    def norm(x):
+        if normalize is None:
+            return x
+        return (x - normalize[0]) / normalize[1]
+
+    D0 = norm(jax.vmap(geometry.own_disparity)(prop_stack))  # [K, H, W]
+    Q = jnp.stack(
+        [
+            norm(jax.vmap(lambda p: geometry.neighbor_plane_disparity(p, d, fill=0.0))(prop_stack))
+            for d in range(geometry.NUM_DIRS)
+        ],
+        axis=0,
+    )  # [4, K, H, W]
+    res = trws.solve(
+        unary, D0, Q, weights, kernel=kernel, tol=tol, maxiter=maxiter,
+        max_relgap=max_relgap,
+    )
+    return res.labels, res.energy, res.lower_bound, res.iterations

@@ -104,11 +104,22 @@ def _minplus(H_src, src_pos, dst_pos, alpha, kernel: int, tol):
     reference's O(K) lower-envelope scan (typeStereoLinear.h:398-479).
     """
     K = dst_pos.shape[0]
-    out = []
-    for j in range(K):
-        c = truncated_kernel(src_pos - dst_pos[j][None], kernel, tol)
-        out.append(jnp.min(H_src + alpha[None] * c, axis=0))
-    return jnp.stack(out, axis=0)
+    if K <= 16:
+        # small K: unrolled, fuses into one pass over HBM
+        out = []
+        for j in range(K):
+            c = truncated_kernel(src_pos - dst_pos[j][None], kernel, tol)
+            out.append(jnp.min(H_src + alpha[None] * c, axis=0))
+        return jnp.stack(out, axis=0)
+
+    # large K: K-step scan keeps the program size O(1) in K; each step is a
+    # full [K, H, W] vector pass, so the device stays saturated
+    def row(_, dst_j):
+        c = truncated_kernel(src_pos - dst_j[None], kernel, tol)
+        return None, jnp.min(H_src + alpha[None] * c, axis=0)
+
+    _, msg = jax.lax.scan(row, None, dst_pos)
+    return msg
 
 
 def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,

@@ -1,0 +1,65 @@
+"""Image / dataset IO for the bundled Middlebury pairs.
+
+Replaces the reference's imread + download_stereo conventions: images are
+loaded as double-valued float arrays in [0, 255] (MATLAB ``double(imread(.))``)
+and stereo datasets carry the P-matrix convention of
+imrender/ojw/download_stereo.m:116-117 — P of view n shifts x by
+-(n-1)/(disparity_factor * im_space) per disparity unit; for the bundled
+2-view pairs that is P(1,4,2) = -0.25 (example_global.m:17-18).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "data")
+
+
+def load_image(path: str, dtype=np.float32) -> np.ndarray:
+    """[H, W, 3] float image with values in [0, 255]."""
+    from PIL import Image
+
+    im = np.asarray(Image.open(path).convert("RGB"))
+    return im.astype(dtype)
+
+
+@dataclass
+class StereoPair:
+    name: str
+    images: list  # two [H, W, 3] float arrays, images[0] = reference view
+    P: np.ndarray  # [2, 3, 4] camera matrices
+    disp_range: tuple  # (min, max) in dataset disparity units
+    disparity_factor: int
+
+    @property
+    def shape(self):
+        return self.images[0].shape[:2]
+
+
+_PAIRS = {
+    # example_global.m:17-20 / example_simultaneous.m:15-18
+    "teddy": dict(disp_range=(0, 59), disparity_factor=4, p_shift=-0.25),
+    "baby2": dict(disp_range=(0, 85), disparity_factor=3, p_shift=-0.25),
+}
+
+
+def load_pair(name: str, root: str | None = None, dtype=np.float32) -> StereoPair:
+    if name not in _PAIRS:
+        raise KeyError(f"Unknown bundled pair {name!r}; have {sorted(_PAIRS)}")
+    cfg = _PAIRS[name]
+    root = root or DATA_ROOT
+    im0 = load_image(os.path.join(root, name, "im2.png"), dtype)
+    im1 = load_image(os.path.join(root, name, "im6.png"), dtype)
+    P = np.zeros((2, 3, 4))
+    P[:, :, :3] = np.eye(3)
+    P[1, 0, 3] = cfg["p_shift"]
+    return StereoPair(
+        name=name,
+        images=[im0, im1],
+        P=P,
+        disp_range=cfg["disp_range"],
+        disparity_factor=cfg["disparity_factor"],
+    )

@@ -1,0 +1,79 @@
+"""Device binary fusion (K=2 TRW-S) vs the native QPBO oracle on identical
+fusion problems: bounds must agree (same LP/roof dual at convergence up to
+decomposition) and accepted moves must be comparable in quality."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_tpu import energy, geometry
+from stereo_tpu.solvers import binary, qpbo_host
+
+import oracles
+
+
+def fusion_instance(seed, H, W, kernel=1, tol=0.9):
+    rng = np.random.default_rng(seed)
+
+    def planes():
+        p = rng.standard_normal((4, H, W))
+        p[2] = np.sign(p[2]) * (np.abs(p[2]) + 0.5)
+        return p
+
+    cur, prop = planes(), planes()
+    U0 = rng.uniform(0, 3, (H, W))
+    U1 = rng.uniform(0, 3, (H, W))
+    w = np.asarray(energy.default_weights(H, W, dtype=jnp.float64))
+    return cur, prop, U0, U1, w, kernel, tol
+
+
+def qpbo_inputs(cur, prop, U0, U1, w, kernel, tol):
+    """Edge-list QPBO inputs matching the dense fusion problem."""
+    H, W = U0.shape
+    ind1, ind2 = oracles.build_neighborhood(H, W)
+    pts = oracles.points(H, W)
+    w_flat = oracles.dense_weights_to_flat(w)
+    cur_f = oracles.planes_to_flat(cur)
+    prop_f = oracles.planes_to_flat(prop)
+
+    q_c, qp_c = oracles.edge_qs(cur_f, ind1, ind2, pts)
+    q_p, qp_p = oracles.edge_qs(prop_f, ind1, ind2, pts)
+    pc = lambda qq, qpp: oracles.pairwise_cost(qq, qpp, w_flat, kernel, tol)
+    E00 = pc(q_c, qp_c)
+    E11 = pc(q_p, qp_p)
+    E10 = pc(q_c, qp_p)  # tail prop, head current
+    E01 = pc(q_p, qp_c)
+    return (U0.flatten(order="F"), U1.flatten(order="F"), ind1, ind2,
+            E00, E01, E10, E11)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("kernel", [1, 2])
+def test_bounds_and_energies_agree(seed, kernel):
+    H, W = 5, 6
+    cur, prop, U0, U1, w, kernel, tol = fusion_instance(seed, H, W, kernel)
+
+    # device path
+    D0, Q = binary.fusion_problem(jnp.asarray(cur), jnp.asarray(prop))
+    res = binary.binary_fuse(
+        jnp.asarray(U0), jnp.asarray(U1), D0, Q, jnp.asarray(w),
+        kernel=kernel, tol=tol, maxiter=400, max_relgap=0.0,
+    )
+
+    # oracle path
+    labels, e_q, lb_q, n_unlab = qpbo_host.solve(
+        *qpbo_inputs(cur, prop, U0, U1, w, kernel, tol)
+    )
+
+    # Both lower-bound the same fusion problem; roof dual >= any valid bound's
+    # floor and TRW-S at convergence approaches the same LP optimum.
+    e_t, lb_t = float(res.energy), float(res.lower_bound)
+    assert lb_t <= e_q + 1e-6, "TRW-S bound exceeds a feasible energy"
+    assert lb_q <= e_t + 1e-6, "QPBO bound exceeds a feasible energy"
+    # bounds agree tightly at convergence (same LP relaxation)
+    assert lb_t == pytest.approx(lb_q, rel=1e-3, abs=1e-3)
+    # both moves are at least as good as keeping the incumbent
+    inputs = qpbo_inputs(cur, prop, U0, U1, w, kernel, tol)
+    e_keep = qpbo_host.labeling_energy(np.zeros(H * W, int), *inputs)
+    assert e_t <= e_keep + 1e-9
+    assert e_q <= e_keep + 1e-9

@@ -1,0 +1,99 @@
+"""Native QPBO vs brute force: optimality on submodular instances, lower
+bound + autarky (never-increase) on general ones."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from stereo_tpu.solvers import qpbo_host
+
+
+def random_instance(rng, n, m, submodular=False):
+    U0 = rng.normal(0, 2, n)
+    U1 = rng.normal(0, 2, n)
+    tails = rng.integers(0, n, m)
+    heads = (tails + 1 + rng.integers(0, n - 1, m)) % n
+    E00 = rng.normal(0, 1, m)
+    E01 = rng.normal(0, 1, m)
+    E10 = rng.normal(0, 1, m)
+    E11 = rng.normal(0, 1, m)
+    if submodular:
+        # force E01 + E10 - E00 - E11 >= 0
+        gap = (E01 + E10 - E00 - E11)
+        fix = np.clip(-gap, 0, None) / 2 + 0.01
+        E01 = E01 + fix
+        E10 = E10 + fix
+    return U0, U1, tails, heads, E00, E01, E10, E11
+
+
+def brute_force(U0, U1, tails, heads, E00, E01, E10, E11):
+    n = len(U0)
+    best, best_lab = np.inf, None
+    for bits in itertools.product([0, 1], repeat=n):
+        lab = np.array(bits)
+        E = qpbo_host.labeling_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11)
+        if E < best:
+            best, best_lab = E, lab
+    return best, best_lab
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_submodular_exact(seed):
+    """Submodular instances: everything labeled, labeling is optimal, lb == opt."""
+    rng = np.random.default_rng(seed)
+    n, m = 8, 14
+    inst = random_instance(rng, n, m, submodular=True)
+    labels, e, lb, n_unlab = qpbo_host.solve(*inst)
+    best, best_lab = brute_force(*inst)
+    assert n_unlab == 0
+    assert e == pytest.approx(best, abs=1e-9)
+    assert lb == pytest.approx(best, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_general_lower_bound_and_persistency(seed):
+    """General (non-submodular) instances: lb <= OPT; labeled nodes agree with
+    the autarky property — applying them onto ANY completion never increases
+    its energy (tested against the all-zeros completion and random ones)."""
+    rng = np.random.default_rng(100 + seed)
+    n, m = 7, 12
+    inst = random_instance(rng, n, m, submodular=False)
+    labels, e, lb, n_unlab = qpbo_host.solve(*inst)
+    best, _ = brute_force(*inst)
+    assert lb <= best + 1e-9
+
+    U0, U1, tails, heads, E00, E01, E10, E11 = inst
+    for trial in range(6):
+        base = (np.zeros(n, dtype=int) if trial == 0
+                else rng.integers(0, 2, n))
+        merged = np.where(labels >= 0, labels, base)
+        e_base = qpbo_host.labeling_energy(base, *inst[:2], *inst[2:4], *inst[4:])
+        e_merged = qpbo_host.labeling_energy(merged, *inst[:2], *inst[2:4], *inst[4:])
+        assert e_merged <= e_base + 1e-9, (
+            f"autarky violated: {e_merged} > {e_base}"
+        )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fully_labeled_is_optimal(seed):
+    """Whenever QPBO labels every node, that labeling is a global optimum."""
+    rng = np.random.default_rng(300 + seed)
+    n, m = 6, 10
+    inst = random_instance(rng, n, m)
+    labels, e, lb, n_unlab = qpbo_host.solve(*inst)
+    if n_unlab == 0:
+        best, _ = brute_force(*inst)
+        assert e == pytest.approx(best, abs=1e-9)
+        assert lb == pytest.approx(best, abs=1e-9)
+
+
+def test_energy_reported_matches_keep_zero_completion():
+    rng = np.random.default_rng(7)
+    inst = random_instance(rng, 9, 16)
+    labels, e, lb, _ = qpbo_host.solve(*inst)
+    completion = np.where(labels >= 0, labels, 0)
+    assert e == pytest.approx(
+        qpbo_host.labeling_energy(completion, *inst), abs=1e-9
+    )
+    assert lb <= e + 1e-9
