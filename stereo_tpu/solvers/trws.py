@@ -228,18 +228,28 @@ def solve(
     maxiter: int = 1000,
     max_relgap: float = 1e-4,
     messages: jax.Array | None = None,  # warm start [4, K, H, W]
+    mode: str = "trws",  # "trws" | "bp" (Minimize_BP, minimize.cpp:118-221)
 ) -> TRWSResult:
-    """Run checkerboard TRW-S to the reference's stopping rule.
+    """Run checkerboard TRW-S (or plain loopy BP) to the reference's
+    stopping rule.
 
-    Equivalent of trws_mex.cpp:27-147 + Minimize_TRW_S (minimize.cpp:31-116).
+    Equivalent of trws_mex.cpp:27-147 + Minimize_TRW_S (minimize.cpp:31-116);
+    mode="bp" reproduces Minimize_BP: gamma = 1, no lower bound (returned
+    lower bound stays 0, so the relgap rule degenerates to maxiter —
+    matching the reference, which only stops BP on iterations).
     """
+    if mode not in ("trws", "bp"):
+        raise ValueError(f"unknown mode {mode!r}")
     K, H, W = unary.shape
     dtype = unary.dtype
     theta = unary
     D0 = positions
     Q = nbr_positions
     cb = checkerboard(H, W)
-    gamma = node_gamma(H, W, dtype)
+    if mode == "bp":
+        gamma = jnp.ones((H, W), dtype)  # minimize.cpp:160,188: gamma = 1
+    else:
+        gamma = node_gamma(H, W, dtype)
     valid = jnp.stack(
         [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(NUM_DIRS)], 0
     )
@@ -247,22 +257,28 @@ def solve(
     if messages is None:
         messages = jnp.zeros((NUM_DIRS, K, H, W), dtype)
 
+    accumulate_lb = mode == "trws"
+
     def one_iteration(M):
         # forward: black phase, no LB bookkeeping (minimize.cpp:33-62)
         M, _, _ = _phase(theta, M, D0, Q, alphas, valid, gamma, cb, 0,
                          kernel, tol, accumulate_lb=False)
         # backward: white phase with LB accumulation (minimize.cpp:64-95)
         M, lb_nodes, lb_msgs = _phase(theta, M, D0, Q, alphas, valid, gamma,
-                                      cb, 1, kernel, tol, accumulate_lb=True)
-        # blacks contribute their belief minima to the bound (they have no
-        # backward edges; minimize.cpp:69-83 visits them at the end of the
-        # descending sweep)
-        D_black = _node_beliefs(theta, M)
-        lb_black = jnp.sum(
-            jnp.where(cb == 0, jnp.min(D_black, axis=0), 0.0),
-            dtype=jnp.promote_types(dtype, jnp.float32),
-        )
-        lb = lb_nodes + lb_msgs + lb_black
+                                      cb, 1, kernel, tol,
+                                      accumulate_lb=accumulate_lb)
+        if accumulate_lb:
+            # blacks contribute their belief minima to the bound (they have no
+            # backward edges; minimize.cpp:69-83 visits them at the end of the
+            # descending sweep)
+            D_black = _node_beliefs(theta, M)
+            lb_black = jnp.sum(
+                jnp.where(cb == 0, jnp.min(D_black, axis=0), 0.0),
+                dtype=jnp.promote_types(dtype, jnp.float32),
+            )
+            lb = lb_nodes + lb_msgs + lb_black
+        else:
+            lb = jnp.zeros((), dtype)
         labels, energy = _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol)
         return M, energy, lb, labels
 

@@ -1,0 +1,59 @@
+"""Distribution layer: sharded TRW-S must equal the single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereo_tpu.parallel import mesh as mesh_mod
+from stereo_tpu.solvers import trws
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    H, W = 16, 24
+    K = 5
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K)
+    return tuple(jnp.asarray(x) for x in (theta, D0, Q, alphas))
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("batch,x", [(1, 8), (2, 4)])
+def test_sharded_equals_single_device(inputs, batch, x):
+    theta, D0, Q, alphas = inputs
+    ref = trws.solve(theta, D0, Q, alphas, kernel=1, tol=1.0, maxiter=6,
+                     max_relgap=0.0)
+
+    m = mesh_mod.make_mesh(batch * x, batch=batch)
+    res = mesh_mod.sharded_solve(m, theta, D0, Q, alphas, kernel=1, tol=1.0,
+                                 maxiter=6, max_relgap=0.0)
+    assert float(res.energy) == pytest.approx(float(ref.energy), rel=1e-12)
+    assert float(res.lower_bound) == pytest.approx(float(ref.lower_bound), rel=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.labels), np.asarray(ref.labels))
+
+
+def test_batched_pairs_over_mesh(inputs):
+    theta, D0, Q, alphas = inputs
+    # two stereo "pairs": the same problem and a scaled copy
+    thetaB = jnp.stack([theta, theta * 1.5])
+    D0B = jnp.stack([D0, D0])
+    QB = jnp.stack([Q, Q])
+    alphasB = jnp.stack([alphas, alphas * 0.5])
+
+    m = mesh_mod.make_mesh(8, batch=2)
+    res = mesh_mod.sharded_solve(m, thetaB, D0B, QB, alphasB, kernel=1,
+                                 tol=1.0, maxiter=5, max_relgap=0.0)
+    assert res.energy.shape == (2,)
+    for b, (th, al) in enumerate([(theta, alphas), (theta * 1.5, alphas * 0.5)]):
+        ref = trws.solve(th, D0, Q, al, kernel=1, tol=1.0, maxiter=5,
+                         max_relgap=0.0)
+        assert float(res.energy[b]) == pytest.approx(float(ref.energy), rel=1e-12)
+        assert float(res.lower_bound[b]) == pytest.approx(
+            float(ref.lower_bound), rel=1e-12
+        )

@@ -135,3 +135,19 @@ def test_early_stop_on_relgap():
     assert int(res.iterations) < 500
     e, lb = float(res.energy), float(res.lower_bound)
     assert (e - lb) / e < 1e-3
+
+
+def test_bp_mode_runs_and_decodes():
+    """mode='bp' (Minimize_BP): gamma=1, lb stays 0, runs to maxiter."""
+    rng = np.random.default_rng(8)
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, 6, 6, 3)
+    res = trws.solve(
+        jnp.asarray(theta), jnp.asarray(D0), jnp.asarray(Q), jnp.asarray(alphas),
+        kernel=1, tol=1.0, maxiter=15, max_relgap=1e-3, mode="bp",
+    )
+    assert int(res.iterations) == 15
+    assert float(res.lower_bound) == 0.0
+    theta_flat, edges = oracles.grid_edges_for_oracle(theta, D0, Q, alphas)
+    lab = np.asarray(res.labels).reshape(-1)
+    E_indep = oracles.labeling_energy(theta_flat, edges, lab, 1, 1.0)
+    assert float(res.energy) == pytest.approx(E_indep, rel=1e-10)
