@@ -116,6 +116,67 @@ struct MaxFlow {
   }
 };
 
+// Iterative Tarjan SCC over the residual graph restricted to a node subset.
+// comp[v] = component id in *finalization order* (an SCC is numbered only
+// once all its successors are numbered, so every residual arc goes from a
+// higher or equal comp id to a lower or equal one).
+struct SCC {
+  const MaxFlow& mf;
+  const std::vector<uint8_t>& active;
+  std::vector<int32_t> comp, low, num, stack_;
+  std::vector<uint8_t> on_stack;
+  int32_t counter = 0, ncomp = 0;
+
+  SCC(const MaxFlow& m, const std::vector<uint8_t>& act)
+      : mf(m), active(act), comp(m.n, -1), low(m.n, 0), num(m.n, -1),
+        on_stack(m.n, 0) {}
+
+  void run() {
+    for (int v = 0; v < mf.n; v++)
+      if (active[v] && num[v] < 0) iterate(v);
+  }
+
+  void iterate(int root) {
+    // explicit stack of (node, arc index)
+    std::vector<std::pair<int32_t, int32_t>> call;
+    call.push_back({root, 0});
+    num[root] = low[root] = counter++;
+    stack_.push_back(root);
+    on_stack[root] = 1;
+    while (!call.empty()) {
+      auto& [v, ai] = call.back();
+      if (ai < (int32_t)mf.g[v].size()) {
+        const MaxFlow::Arc& a = mf.g[v][ai++];
+        int w = a.to;
+        if (a.cap <= 1e-12 || !active[w]) continue;
+        if (num[w] < 0) {
+          num[w] = low[w] = counter++;
+          stack_.push_back(w);
+          on_stack[w] = 1;
+          call.push_back({w, 0});
+        } else if (on_stack[w]) {
+          low[v] = std::min(low[v], num[w]);
+        }
+      } else {
+        if (low[v] == num[v]) {
+          int32_t c = ncomp++;
+          while (true) {
+            int w = stack_.back();
+            stack_.pop_back();
+            on_stack[w] = 0;
+            comp[w] = c;
+            if (w == v) break;
+          }
+        }
+        int32_t lv = low[v];
+        call.pop_back();
+        if (!call.empty())
+          low[call.back().first] = std::min(low[call.back().first], lv);
+      }
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -129,10 +190,11 @@ int qpbo_solve(int n_nodes, int n_edges,
                const int32_t* tails, const int32_t* heads,
                const double* E00, const double* E01, const double* E10,
                const double* E11,
-               int improve,  // reserved; QPBO-I not yet implemented
+               int improve,  // bit 0: QPBO-I (reserved); bit 1: skip weak
+                             // persistency extension
                int32_t* labels_out, double* energy_out, double* lb_out,
                int32_t* n_unlabelled_out) {
-  (void)improve;
+  const bool use_weak = (improve & 2) == 0;
   const int S = 2 * n_nodes;      // source
   const int T = 2 * n_nodes + 1;  // sink
   auto U = [&](int i) { return 2 * i; };
@@ -206,6 +268,37 @@ int qpbo_solve(int n_nodes, int n_edges,
     } else {
       labels_out[i] = -1;
       n_unlab++;
+    }
+  }
+
+  // Weak persistency (the ComputeWeakPersistencies equivalent,
+  // QPBO_postprocessing.cpp:11): on the residual graph restricted to
+  // still-unlabeled literal nodes, condense strongly connected components;
+  // a variable whose two literals land in *different* components takes the
+  // label dictated by the condensation's topological order (the mate
+  // symmetry of the network makes this assignment consistent and
+  // non-increasing).  Variables whose literals share a component stay
+  // unlabeled.
+  if (use_weak && n_unlab > 0) {
+    // all inner (literal) nodes participate — labeled nodes transit
+    // implications; only unlabeled variables receive new labels
+    std::vector<uint8_t> active(mf.n, 1);
+    active[S] = 0;
+    active[T] = 0;
+    SCC scc(mf, active);
+    scc.run();
+    n_unlab = 0;
+    for (int i = 0; i < n_nodes; i++) {
+      if (labels_out[i] >= 0) continue;
+      int32_t cu = scc.comp[U(i)], cv = scc.comp[V(i)];
+      if (cu == cv || cu < 0 || cv < 0) {
+        n_unlab++;
+        continue;
+      }
+      // comp ids are in finalization (reverse-topological) order: the
+      // component finalized first is downstream of every residual
+      // implication; putting its literals at 1 satisfies all implications.
+      labels_out[i] = (cu < cv) ? 0 : 1;
     }
   }
   *n_unlabelled_out = n_unlab;

@@ -15,8 +15,13 @@ import numpy as np
 from stereo_tpu import native
 
 
-def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False):
-    """Returns (labels [N] in {-1,0,1}, energy, lower_bound, n_unlabelled)."""
+def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
+          weak: bool = True):
+    """Returns (labels [N] in {-1,0,1}, energy, lower_bound, n_unlabelled).
+
+    ``weak``: extend the strongly-persistent labeling with weak persistency
+    (ComputeWeakPersistencies equivalent; on by default like rd_mex.cpp:69).
+    """
     U0 = np.ascontiguousarray(U0, dtype=np.float64).ravel()
     U1 = np.ascontiguousarray(U1, dtype=np.float64).ravel()
     tails = np.ascontiguousarray(tails, dtype=np.int32).ravel()
@@ -46,7 +51,7 @@ def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False):
         tails.ctypes.data_as(i32p), heads.ctypes.data_as(i32p),
         E00.ctypes.data_as(f64p), E01.ctypes.data_as(f64p),
         E10.ctypes.data_as(f64p), E11.ctypes.data_as(f64p),
-        int(improve),
+        int(bool(improve)) | (0 if weak else 2),
         labels.ctypes.data_as(i32p),
         ctypes.byref(energy), ctypes.byref(lb), ctypes.byref(n_unlab),
     )

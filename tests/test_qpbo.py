@@ -97,3 +97,45 @@ def test_energy_reported_matches_keep_zero_completion():
         qpbo_host.labeling_energy(completion, *inst), abs=1e-9
     )
     assert lb <= e + 1e-9
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_weak_persistency_extends_and_stays_monotone(seed):
+    """Weak persistency labels at least as many nodes as strong-only, and the
+    fusion-style completion (unlabelled -> 0) never worsens the all-zeros
+    incumbent (the property dispmap_super.m:83 relies on)."""
+    rng = np.random.default_rng(500 + seed)
+    n, m = 8, 14
+    inst = random_instance(rng, n, m, submodular=False)
+    lab_w, e_w, lb_w, nu_w = qpbo_host.solve(*inst, weak=True)
+    lab_s, e_s, lb_s, nu_s = qpbo_host.solve(*inst, weak=False)
+    assert lb_w == pytest.approx(lb_s, abs=1e-9)
+    assert nu_w <= nu_s
+    # strong labels are preserved by the weak extension
+    assert ((lab_s < 0) | (lab_w == lab_s)).all()
+    # fusion completion never increases energy vs keeping the incumbent
+    zero = np.zeros(n, dtype=int)
+    e_keep = qpbo_host.labeling_energy(zero, *inst)
+    assert e_w <= e_keep + 1e-9
+    assert e_w <= e_s + 1e-9  # weak extension should not be worse
+
+
+def test_weak_persistency_resolves_tied_antiferromagnet():
+    """Canonical case where strong persistency labels nothing but weak
+    persistency recovers a global optimum: anti-correlated pairs with tied
+    optima (the half-integral LP point)."""
+    inst = (np.zeros(2), np.zeros(2), [0], [1],
+            [1.0], [0.0], [0.0], [1.0])
+    lab_s, e_s, lb_s, nu_s = qpbo_host.solve(*inst, weak=False)
+    assert nu_s == 2 and e_s == pytest.approx(1.0)
+    lab_w, e_w, lb_w, nu_w = qpbo_host.solve(*inst, weak=True)
+    assert nu_w == 0
+    assert e_w == pytest.approx(0.0)  # optimal
+    assert lab_w[0] != lab_w[1]
+
+    # chain of three anti-correlated variables
+    inst = (np.zeros(3), np.zeros(3), [0, 1], [1, 2],
+            [1.0, 1.0], [0.0, 0.0], [0.0, 0.0], [1.0, 1.0])
+    lab, e, lb, nu = qpbo_host.solve(*inst, weak=True)
+    assert nu == 0 and e == pytest.approx(0.0)
+    assert lab[0] != lab[1] and lab[1] != lab[2]
