@@ -31,7 +31,8 @@ class DispMap:
     normalize: tuple | None = None
 
     def __init__(self, images, kernel: int, *, maxiter: int = 1000,
-                 max_relgap: float = 1e-4, improve: bool = False):
+                 max_relgap: float = 1e-4, improve: bool = False,
+                 check_every: int = 8):
         self.images = [jnp.asarray(im) for im in images]
         H, W = self.images[0].shape[:2]
         self.sz = (H, W)
@@ -41,6 +42,9 @@ class DispMap:
         self.maxiter = maxiter
         self.max_relgap = max_relgap
         self.improve = improve
+        # stopping-rule stride: decode/convergence-test every N TRW-S sweeps
+        # (pure scheduling; the message math is unchanged)
+        self.check_every = check_every
         self.dtype = self.images[0].dtype
         self.smooth_weights = energy.default_weights(H, W, dtype=self.dtype)
         self._assignment = None
@@ -135,6 +139,7 @@ class DispMap:
         labels, e, lb, iters = _simultaneous_fusion_step(
             stack, unary, self.smooth_weights, self.smoothness_kernel,
             self.tol, self.normalize, self.maxiter, self.max_relgap,
+            self.check_every,
         )
         self._assignment = jnp.take_along_axis(
             stack, labels[None, None, :, :].astype(jnp.int32), axis=0
@@ -175,10 +180,12 @@ def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normali
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel", "normalize", "maxiter", "max_relgap")
+    jax.jit,
+    static_argnames=("kernel", "normalize", "maxiter", "max_relgap",
+                     "check_every"),
 )
 def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize,
-                              maxiter, max_relgap):
+                              maxiter, max_relgap, check_every=1):
     def norm(x):
         if normalize is None:
             return x
@@ -194,6 +201,6 @@ def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize
     )  # [4, K, H, W]
     res = trws.solve(
         unary, D0, Q, weights, kernel=kernel, tol=tol, maxiter=maxiter,
-        max_relgap=max_relgap,
+        max_relgap=max_relgap, check_every=check_every,
     )
     return res.labels, res.energy, res.lower_bound, res.iterations

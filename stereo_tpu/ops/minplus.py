@@ -1,0 +1,113 @@
+"""Fused min-plus message kernels (the hot op of TRW-S).
+
+For every pixel and an edge family with source positions P[K], dest positions
+R[K], weight alpha and truncation tol:
+
+    msgA[j] = min_i ( H_A[i] + alpha * TR(|P[i] - R[j]|) )   (source = tail)
+    msgB[i] = min_j ( H_B[j] + alpha * TR(|P[i] - R[j]|) )   (source = head)
+
+The straightforward XLA formulation materializes K stacked [K, H, W]
+intermediates per reduction, turning an O(K^2 HW) compute problem into ~K x
+the necessary HBM traffic.  The Pallas kernel streams (K, 8, 128) tiles
+through VMEM and emits both variants from a single pass over j — each element
+of H/P/R is read from HBM exactly once.
+
+The reference computes the same update in O(K) per edge with a lower-envelope
+scan over sorted positions (typeStereoLinear.h:329-487,
+typeStereoQuadratic.h); at this problem family's label counts (K <= ~100) the
+dense K^2 VMEM pass beats any sort + data-dependent scan on TPU, and is exact
+for both kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stereo_tpu.energy import truncated_kernel
+
+
+def minplus_pair_xla(H_A, H_B, P, R, alpha, kernel: int, tol):
+    """Reference XLA implementation. H_A/H_B/P/R: [K, H, W]; alpha: [H, W].
+
+    Returns (msgA, msgB), each [K, H, W].
+    """
+    K = P.shape[0]
+    msgA = []
+    accB = jnp.full_like(H_B, jnp.inf)
+    for j in range(K):
+        term = alpha[None] * truncated_kernel(P - R[j][None], kernel, tol)
+        msgA.append(jnp.min(H_A + term, axis=0))
+        accB = jnp.minimum(accB, H_B[j][None] + term)
+    return jnp.stack(msgA, axis=0), accB
+
+
+def _tile_kernel(tol_ref, ha_ref, hb_ref, p_ref, r_ref, alpha_ref,
+                 msga_ref, msgb_ref, *, kernel: int):
+    K = p_ref.shape[0]
+    tol = tol_ref[0]
+    alpha = alpha_ref[0]
+    ha = ha_ref[...]
+    hb = hb_ref[...]
+    p = p_ref[...]
+    accb = jnp.full(hb.shape, jnp.inf, dtype=hb.dtype)
+    for j in range(K):
+        term = alpha[None] * truncated_kernel(p - r_ref[j][None], kernel, tol)
+        msga_ref[j] = jnp.min(ha + term, axis=0)
+        accb = jnp.minimum(accb, hb[j][None] + term)
+    msgb_ref[...] = accb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "th", "tw", "interpret"))
+def minplus_pair_pallas(H_A, H_B, P, R, alpha, tol, kernel: int,
+                        th: int = 8, tw: int = 512, interpret: bool = False):
+    """Pallas TPU implementation; same contract as minplus_pair_xla
+    (tol may be a traced scalar — it rides in SMEM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, H, W = P.shape
+    pad_h = (-H) % th
+    pad_w = (-W) % tw
+    if pad_h or pad_w:
+        pad3 = lambda x: jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)))
+        H_A, H_B, P, R = map(pad3, (H_A, H_B, P, R))
+        alpha = jnp.pad(alpha, ((0, pad_h), (0, pad_w)))
+    Hp, Wp = H + pad_h, W + pad_w
+
+    grid = (Hp // th, Wp // tw)
+    spec_k = pl.BlockSpec((K, th, tw), lambda h, w: (0, h, w),
+                          memory_space=pltpu.VMEM)
+    spec_a = pl.BlockSpec((1, th, tw), lambda h, w: (0, h, w),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    tol_arr = jnp.asarray(tol, P.dtype).reshape(1)
+    msgA, msgB = pl.pallas_call(
+        functools.partial(_tile_kernel, kernel=kernel),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[spec_s, spec_k, spec_k, spec_k, spec_k, spec_a],
+        out_specs=[spec_k, spec_k],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Hp, Wp), P.dtype),
+            jax.ShapeDtypeStruct((K, Hp, Wp), P.dtype),
+        ],
+    )(tol_arr, H_A, H_B, P, R, alpha[None])
+    if pad_h or pad_w:
+        msgA = msgA[:, :H, :W]
+        msgB = msgB[:, :H, :W]
+    return msgA, msgB
+
+
+def minplus_pair(H_A, H_B, P, R, alpha, tol, kernel: int,
+                 use_pallas: bool | None = None):
+    """Backend dispatch: Pallas on TPU (unless disabled), XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return minplus_pair_pallas(H_A, H_B, P, R, alpha, tol, kernel)
+    return minplus_pair_xla(H_A, H_B, P, R, alpha, kernel, tol)

@@ -96,34 +96,8 @@ def _node_beliefs(theta: jax.Array, M: jax.Array) -> jax.Array:
     return D
 
 
-def _minplus(H_src, src_pos, dst_pos, alpha, kernel: int, tol):
-    """msg[j] = min_i (H_src[i] + alpha * TR(|src_pos[i] - dst_pos[j]|)).
-
-    All of H_src, src_pos, dst_pos are [K, H, W]; alpha is [H, W].
-    Returns [K, H, W].  Dense min-plus: the TPU replacement for the
-    reference's O(K) lower-envelope scan (typeStereoLinear.h:398-479).
-    """
-    K = dst_pos.shape[0]
-    if K <= 16:
-        # small K: unrolled, fuses into one pass over HBM
-        out = []
-        for j in range(K):
-            c = truncated_kernel(src_pos - dst_pos[j][None], kernel, tol)
-            out.append(jnp.min(H_src + alpha[None] * c, axis=0))
-        return jnp.stack(out, axis=0)
-
-    # large K: K-step scan keeps the program size O(1) in K; each step is a
-    # full [K, H, W] vector pass, so the device stays saturated
-    def row(_, dst_j):
-        c = truncated_kernel(src_pos - dst_j[None], kernel, tol)
-        return None, jnp.min(H_src + alpha[None] * c, axis=0)
-
-    _, msg = jax.lax.scan(row, None, dst_pos)
-    return msg
-
-
 def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
-           accumulate_lb):
+           accumulate_lb, use_pallas=None):
     """One half-iteration: update every edge's message from its `color` endpoint.
 
     Returns (new_M, lb_nodes, lb_msgs); the lb terms are zero arrays unless
@@ -144,17 +118,20 @@ def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
 
     newM = []
     lb_msgs = jnp.zeros((), dtype)
+    from stereo_tpu.ops.minplus import minplus_pair
+
     for d in range(NUM_DIRS):
         a = alphas[d]
         # Edge E(p, d): head p, tail n = p + DIRS[d].  Exactly one endpoint has
         # the phase color.
         # Variant A — source is the tail n: H[k] = gamma_n * D_n[k] - msg[k],
-        # envelope over the tail's positions Q[d], evaluated at D0.
-        H_A = geometry.shift_from_neighbor(gD, d, fill=0.0) - M[d]
-        msgA = _minplus(H_A, Q[d], D0, a, kernel, tol)
+        # min-plus over the tail's positions Q[d], evaluated at D0.
         # Variant B — source is the head p: evaluated at the tail's positions.
+        # Both come out of one fused pass over the pairwise terms.
+        H_A = geometry.shift_from_neighbor(gD, d, fill=0.0) - M[d]
         H_B = gD - M[d]
-        msgB = _minplus(H_B, D0, Q[d], a, kernel, tol)
+        msgA, msgB = minplus_pair(H_A, H_B, Q[d], D0, a, tol, kernel,
+                                  use_pallas=use_pallas)
 
         src_is_head = phase_mask  # head p is the source iff p has phase color
         msg = jnp.where(src_is_head[None], msgB, msgA)
@@ -229,6 +206,8 @@ def solve(
     max_relgap: float = 1e-4,
     messages: jax.Array | None = None,  # warm start [4, K, H, W]
     mode: str = "trws",  # "trws" | "bp" (Minimize_BP, minimize.cpp:118-221)
+    use_pallas: bool | None = None,  # None = auto (Pallas on TPU)
+    check_every: int = 1,  # decode + test the stopping rule every N iterations
 ) -> TRWSResult:
     """Run checkerboard TRW-S (or plain loopy BP) to the reference's
     stopping rule.
@@ -259,14 +238,28 @@ def solve(
 
     accumulate_lb = mode == "trws"
 
+    def message_passes(M):
+        """check_every forward+backward sweeps; LB from the last sweep."""
+
+        def sweep(_, carry):
+            M, _ = carry
+            M, _, _ = _phase(theta, M, D0, Q, alphas, valid, gamma, cb, 0,
+                             kernel, tol, accumulate_lb=False,
+                             use_pallas=use_pallas)
+            M, lb_nodes, lb_msgs = _phase(theta, M, D0, Q, alphas, valid,
+                                          gamma, cb, 1, kernel, tol,
+                                          accumulate_lb=accumulate_lb,
+                                          use_pallas=use_pallas)
+            return M, lb_nodes + lb_msgs
+        if check_every == 1:
+            return sweep(0, (M, jnp.zeros((), dtype)))
+        return jax.lax.fori_loop(0, check_every, sweep,
+                                 (M, jnp.zeros((), dtype)))
+
     def one_iteration(M):
-        # forward: black phase, no LB bookkeeping (minimize.cpp:33-62)
-        M, _, _ = _phase(theta, M, D0, Q, alphas, valid, gamma, cb, 0,
-                         kernel, tol, accumulate_lb=False)
-        # backward: white phase with LB accumulation (minimize.cpp:64-95)
-        M, lb_nodes, lb_msgs = _phase(theta, M, D0, Q, alphas, valid, gamma,
-                                      cb, 1, kernel, tol,
-                                      accumulate_lb=accumulate_lb)
+        # forward (black) + backward (white) message sweeps
+        # (minimize.cpp:33-95), check_every at a time
+        M, lb_sweep = message_passes(M)
         if accumulate_lb:
             # blacks contribute their belief minima to the bound (they have no
             # backward edges; minimize.cpp:69-83 visits them at the end of the
@@ -276,7 +269,7 @@ def solve(
                 jnp.where(cb == 0, jnp.min(D_black, axis=0), 0.0),
                 dtype=jnp.promote_types(dtype, jnp.float32),
             )
-            lb = lb_nodes + lb_msgs + lb_black
+            lb = lb_sweep + lb_black
         else:
             lb = jnp.zeros((), dtype)
         labels, energy = _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol)
@@ -292,7 +285,7 @@ def solve(
     def body(state):
         M, it, _, _, _ = state
         M, energy, lb, labels = one_iteration(M)
-        return (M, it + 1, energy, lb, labels)
+        return (M, it + check_every, energy, lb, labels)
 
     zero = jnp.zeros((), dtype)
     state0 = (

@@ -1,0 +1,50 @@
+"""Fused min-plus kernel: Pallas (interpret mode) vs the XLA reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_tpu.ops import minplus
+
+
+@pytest.mark.parametrize("kernel", [1, 2])
+@pytest.mark.parametrize("K,H,W", [(3, 5, 7), (15, 9, 130), (2, 8, 512)])
+def test_pallas_matches_xla(kernel, K, H, W):
+    rng = np.random.default_rng(0)
+    f = jnp.float32
+    H_A = jnp.asarray(rng.normal(0, 3, (K, H, W)), f)
+    H_B = jnp.asarray(rng.normal(0, 3, (K, H, W)), f)
+    P = jnp.asarray(rng.normal(0, 2, (K, H, W)), f)
+    R = jnp.asarray(rng.normal(0, 2, (K, H, W)), f)
+    alpha = jnp.asarray(rng.uniform(0, 2, (H, W)), f)
+    tol = 1.3
+
+    a_ref, b_ref = minplus.minplus_pair_xla(H_A, H_B, P, R, alpha, kernel, tol)
+    a_pl, b_pl = minplus.minplus_pair_pallas(H_A, H_B, P, R, alpha,
+                                             jnp.float32(tol), kernel,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(a_pl), np.asarray(a_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_pl), np.asarray(b_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_variants_are_transposes_of_same_table():
+    """msgA/msgB correspond to row/column reductions of the same cost table."""
+    rng = np.random.default_rng(1)
+    K, H, W = 4, 3, 3
+    H_A = rng.normal(0, 1, (K, H, W))
+    H_B = rng.normal(0, 1, (K, H, W))
+    P = rng.normal(0, 1, (K, H, W))
+    R = rng.normal(0, 1, (K, H, W))
+    alpha = rng.uniform(0, 1, (H, W))
+    tol = 0.8
+    a, b = minplus.minplus_pair_xla(*(jnp.asarray(x) for x in (H_A, H_B, P, R, alpha)), 1, tol)
+    for y in range(H):
+        for x in range(W):
+            C = alpha[y, x] * np.minimum(
+                np.abs(P[:, y, x][:, None] - R[:, y, x][None, :]), tol)
+            np.testing.assert_allclose(
+                np.asarray(a)[:, y, x], (H_A[:, y, x][:, None] + C).min(0),
+                rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b)[:, y, x], (H_B[:, y, x][None, :] + C).min(1),
+                rtol=1e-6)

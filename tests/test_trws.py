@@ -151,3 +151,18 @@ def test_bp_mode_runs_and_decodes():
     lab = np.asarray(res.labels).reshape(-1)
     E_indep = oracles.labeling_energy(theta_flat, edges, lab, 1, 1.0)
     assert float(res.energy) == pytest.approx(E_indep, rel=1e-10)
+
+
+def test_check_every_matches_per_iteration_schedule():
+    """check_every only changes when convergence is tested, not the math:
+    6 iterations with check_every=3 == 6 iterations with check_every=1."""
+    rng = np.random.default_rng(9)
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, 6, 7, 4)
+    args = tuple(jnp.asarray(x) for x in (theta, D0, Q, alphas))
+    a = trws.solve(*args, kernel=1, tol=1.0, maxiter=6, max_relgap=0.0)
+    b = trws.solve(*args, kernel=1, tol=1.0, maxiter=6, max_relgap=0.0,
+                   check_every=3)
+    assert int(b.iterations) == 6
+    assert float(b.energy) == pytest.approx(float(a.energy), rel=1e-12)
+    assert float(b.lower_bound) == pytest.approx(float(a.lower_bound), rel=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
