@@ -42,7 +42,7 @@ def main():
     dm.maxiter = args.maxiter
     dm.max_relgap = args.max_relgap
     t0 = time.perf_counter()
-    e_sim, lb, trws_iters = dm.simultaneous_fusion(segplns)
+    e_sim, lb, trws_iters = dm.simultaneous_fusion(segplns, verbose=True)
     dt = time.perf_counter() - t0
     print(f"simultaneous fusion: E = {e_sim:.6g} (lb {lb:.6g}, "
           f"{trws_iters} TRW-S iters, {dt:.2f}s)")

@@ -126,7 +126,13 @@ class DispMap:
                 break
         return len(energies)
 
-    def simultaneous_fusion(self, proposals) -> tuple[float, float, int]:
+    # device executions are chunked so no single XLA invocation runs for
+    # minutes (long single executions can trip device watchdogs); messages
+    # warm-start across chunks, so the trajectory is identical
+    solver_chunk: int = 1000
+
+    def simultaneous_fusion(self, proposals, verbose: bool = False,
+                            trace=None) -> tuple[float, float, int]:
         """Fuse all proposals at once with TRW-S (dispmap_super.m:153-198).
 
         The incumbent assignment joins as the last label (:158).
@@ -136,16 +142,34 @@ class DispMap:
         all_props.append(self._assignment)
         stack = jnp.stack(all_props, axis=0)  # [K, 4, H, W]
         unary = jnp.stack([self.unary_map(p) for p in all_props], axis=0)
-        labels, e, lb, iters = _simultaneous_fusion_step(
-            stack, unary, self.smooth_weights, self.smoothness_kernel,
-            self.tol, self.normalize, self.maxiter, self.max_relgap,
-            self.check_every,
-        )
+
+        messages = None
+        total_iters = 0
+        e = lb = None
+        while total_iters < self.maxiter:
+            chunk = min(self.solver_chunk, self.maxiter - total_iters)
+            labels, e, lb, iters, messages = _simultaneous_fusion_step(
+                stack, unary, self.smooth_weights, self.smoothness_kernel,
+                self.tol, self.normalize, chunk, self.max_relgap,
+                self.check_every, messages,
+            )
+            total_iters += int(iters)
+            ef, lbf = float(e), float(lb)
+            if trace is not None:
+                trace.record(ef, lbf, iterations=total_iters)
+            if verbose:
+                print(f"  TRW-S iter {total_iters}: E = {ef:.6g}, "
+                      f"lb = {lbf:.6g}, relgap = {(ef-lbf)/ef:.3g}")
+            if ef != 0 and (ef - lbf) / ef < self.max_relgap:
+                break
+            if int(iters) < chunk:  # converged inside the chunk
+                break
+
         self._assignment = jnp.take_along_axis(
             stack, labels[None, None, :, :].astype(jnp.int32), axis=0
         )[0]
         self._stored_energy = float(e)
-        return self._stored_energy, float(lb), int(iters)
+        return self._stored_energy, float(lb), total_iters
 
     # ------------------------------------------------------------- views
     def current_dispmap(self) -> jax.Array:
@@ -185,7 +209,7 @@ def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normali
                      "check_every"),
 )
 def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize,
-                              maxiter, max_relgap, check_every=1):
+                              maxiter, max_relgap, check_every=1, messages=None):
     def norm(x):
         if normalize is None:
             return x
@@ -201,6 +225,6 @@ def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize
     )  # [4, K, H, W]
     res = trws.solve(
         unary, D0, Q, weights, kernel=kernel, tol=tol, maxiter=maxiter,
-        max_relgap=max_relgap, check_every=check_every,
+        max_relgap=max_relgap, check_every=check_every, messages=messages,
     )
-    return res.labels, res.energy, res.lower_bound, res.iterations
+    return res.labels, res.energy, res.lower_bound, res.iterations, res.messages

@@ -84,6 +84,7 @@ def binary_fuse(
     maxiter: int = 50,
     max_relgap: float = 1e-6,
     current_energy: jax.Array | None = None,
+    check_every: int = 5,
 ) -> FusionResult:
     """One fusion move; never increases the energy.
 
@@ -94,7 +95,7 @@ def binary_fuse(
     theta = jnp.stack([unary0, unary1], axis=0)
     res = trws.solve(
         theta, D0, Q, alphas, kernel=kernel, tol=tol, maxiter=maxiter,
-        max_relgap=max_relgap,
+        max_relgap=max_relgap, check_every=check_every,
     )
     if current_energy is None:
         zeros = jnp.zeros(unary0.shape, jnp.int32)
