@@ -12,7 +12,7 @@ import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["segment.cpp", "qpbo.cpp"]
+_SOURCES = ["segment.cpp", "qpbo.cpp", "trws.cpp"]
 _LIB_NAME = "libstereo_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -70,6 +70,16 @@ def _declare(L: ctypes.CDLL):
     L.connect_modes.argtypes = [f32p, ct.c_int, ct.c_int, ct.c_float,
                                 ct.c_int, u32p]
     L.connect_modes.restype = ct.c_int
+
+    if hasattr(L, "trws_serial"):
+        L.trws_serial.argtypes = [
+            ct.c_int, ct.c_int, ct.c_int, ct.c_int,  # kernel, K, N, E
+            f64p, i32p, i32p,  # unary, tails, heads
+            f64p, f64p, f64p, ct.c_double,  # q_src, q_dst, alphas, tol
+            i32p, ct.c_int, ct.c_double,  # order, maxiter, max_relgap
+            i32p, f64p, f64p,  # labels, energy, lb
+        ]
+        L.trws_serial.restype = ct.c_int
 
     if hasattr(L, "qpbo_solve"):
         L.qpbo_solve.argtypes = [

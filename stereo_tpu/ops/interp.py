@@ -56,6 +56,39 @@ def interp2(im: jax.Array, x: jax.Array, y: jax.Array, oobv=jnp.nan) -> jax.Arra
     return out
 
 
+def interp2_cubic(im: jax.Array, x: jax.Array, y: jax.Array, oobv=jnp.nan) -> jax.Array:
+    """Cubic-hermite sampling with the mex's exact weight polynomial and
+    in-bounds window [2, W-1) x [2, H-1) (vgg_interp2.cxx:325-368)."""
+    squeeze = im.ndim == 2
+    if squeeze:
+        im = im[..., None]
+    H, W, C = im.shape
+    compute_dtype = jnp.promote_types(im.dtype, x.dtype)
+    imf = im.astype(compute_dtype)
+
+    valid = (x >= 2) & (x < W - 1) & (y >= 2) & (y < H - 1)
+    x0 = jnp.clip(jnp.floor(x), 2, max(W - 2, 2)).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 2, max(H - 2, 2)).astype(jnp.int32)
+    u = (x - x0).astype(compute_dtype)[..., None]
+    v = (y - y0).astype(compute_dtype)[..., None]
+
+    def col_interp(cs, t):
+        c0, c1, c2, c3 = cs
+        a = (c3 + c1) - (c2 + c0)
+        return t**3 * a + t**2 * ((c0 - c1) - a) + t * (c2 - c0) + c1
+
+    rows = []
+    for m in range(4):
+        xi = jnp.clip(x0 - 2 + m, 0, W - 1)
+        cs = [imf[jnp.clip(y0 - 2 + n, 0, H - 1), xi] for n in range(4)]
+        rows.append(col_interp(cs, v))
+    out = col_interp(rows, u)
+    out = jnp.where(valid[..., None], out, jnp.asarray(oobv, compute_dtype))
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
 def interp2_nearest(im: jax.Array, x: jax.Array, y: jax.Array, oobv=jnp.nan) -> jax.Array:
     """Nearest-neighbor sampling; in-bounds window [0.5, W+0.5) as the mex
     (vgg_interp2.cxx:218-243)."""

@@ -60,6 +60,48 @@ def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
     return labels, float(energy.value), float(lb.value), int(n_unlab.value)
 
 
+def improve(labels, U0, U1, tails, heads, E00, E01, E10, E11,
+            rounds: int = 3, seed: int = 0):
+    """QPBO-I (the rd_mex Improve path, rd_mex.cpp:91-92): randomized
+    fix-and-resolve.
+
+    Start from the keep-current completion y of a QPBO partial labeling.
+    Each round fixes a random subset of the previously-unlabelled nodes to
+    their value in y (via hard unaries), re-solves QPBO on the rest, and
+    applies every labeled node onto y.  Because the fixed energy's strong
+    persistency is an autarky and y satisfies the constraints, the energy is
+    non-increasing; the symmetry-breaking lets rounds label nodes the plain
+    roof dual could not.  Follows the scheme of Rother et al., "Optimizing
+    Binary MRFs via Extended Roof Duality" (CVPR 2007), not Kolmogorov's code.
+
+    Returns (y, energy) with y a complete 0/1 labeling.
+    """
+    U0 = np.asarray(U0, dtype=np.float64).ravel().copy()
+    U1 = np.asarray(U1, dtype=np.float64).ravel().copy()
+    labels = np.asarray(labels)
+    y = np.where(labels >= 0, labels, 0).astype(np.int64)
+    free = labels < 0
+    if not free.any():
+        return y, labeling_energy(y, U0, U1, tails, heads, E00, E01, E10, E11)
+
+    scale = max(np.abs(U0).max(), np.abs(U1).max(), 1.0)
+    BIG = 1e6 * scale * len(U0)
+    rng = np.random.default_rng(seed)
+    best_e = labeling_energy(y, U0, U1, tails, heads, E00, E01, E10, E11)
+    for _ in range(rounds):
+        fix = free & (rng.random(len(U0)) < 0.5)
+        u0 = U0.copy()
+        u1 = U1.copy()
+        u0[fix & (y == 1)] = BIG
+        u1[fix & (y == 0)] = BIG
+        lab, _, _, _ = solve(u0, u1, tails, heads, E00, E01, E10, E11)
+        y_new = np.where(lab >= 0, lab, y)
+        e_new = labeling_energy(y_new, U0, U1, tails, heads, E00, E01, E10, E11)
+        if e_new <= best_e:
+            y, best_e = y_new, e_new
+    return y, best_e
+
+
 def labeling_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11):
     """Energy of a full 0/1 labeling under the same inputs."""
     lab = np.asarray(lab)

@@ -112,3 +112,48 @@ def test_rssd_volume_shapes_and_scores():
     best = v.argmax(axis=0)
     true_level = int(np.where(disps == 2)[0][0])
     assert (best == true_level).mean() > 0.6
+
+
+def test_interp2_cubic_matches_reference_semantics():
+    """Literal check against the mex cubic polynomial (vgg_interp2.cxx:325-368)."""
+    rng = np.random.default_rng(4)
+    H, W = 9, 11
+    im = rng.uniform(0, 255, (H, W))
+    X = np.concatenate([rng.uniform(0, W + 2, 60), [2.0, W - 1 - 1e-9, 5.5]])
+    Y = np.concatenate([rng.uniform(0, H + 2, 60), [2.0, 3.25, H - 1 - 1e-9]])
+
+    def ref_cubic(im, X, Y, oobv):
+        out = np.full(X.shape, float(oobv))
+        for idx in np.ndindex(X.shape):
+            x, y = X[idx], Y[idx]
+            if not (2 <= x < W - 1 and 2 <= y < H - 1):
+                continue
+            xi, yi = int(np.floor(x)), int(np.floor(y))
+            u, v = x - xi, y - yi
+            b = np.zeros(4)
+            for m in range(4):
+                c = im[yi - 2:yi + 2, xi - 2 + m]
+                a = (c[3] + c[1]) - (c[2] + c[0])
+                b[m] = v**3 * a + v**2 * ((c[0] - c[1]) - a) + v * (c[2] - c[0]) + c[1]
+            a = (b[3] + b[1]) - (b[2] + b[0])
+            out[idx] = u**3 * a + u**2 * ((b[0] - b[1]) - a) + u * (b[2] - b[0]) + b[1]
+        return out
+
+    got = np.asarray(interp.interp2_cubic(jnp.asarray(im), jnp.asarray(X),
+                                          jnp.asarray(Y), oobv=-7.0))
+    want = ref_cubic(im, X, Y, -7.0)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_interp2_nearest_matches_reference_window():
+    rng = np.random.default_rng(5)
+    im = rng.uniform(0, 255, (6, 7))
+    X = np.array([0.4, 0.5, 3.2, 7.49, 7.5, 2.0])
+    Y = np.array([1.0, 1.0, 5.7, 6.0, 6.0, 6.49])
+    got = np.asarray(interp.interp2_nearest(jnp.asarray(im), jnp.asarray(X),
+                                            jnp.asarray(Y), oobv=-1.0))
+    # vgg_interp2.cxx:231: valid iff 0.5 <= X < W + 0.5 (likewise Y)
+    assert got[0] == -1.0          # x = 0.4 out of bounds
+    assert got[1] == im[0, 0]      # x = 0.5 rounds to column 1
+    assert got[4] == -1.0          # x = 7.5 out of bounds (W = 7)
+    assert got[2] == im[round(5.7) - 1, round(3.2) - 1]

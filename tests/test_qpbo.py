@@ -139,3 +139,34 @@ def test_weak_persistency_resolves_tied_antiferromagnet():
     lab, e, lb, nu = qpbo_host.solve(*inst, weak=True)
     assert nu == 0 and e == pytest.approx(0.0)
     assert lab[0] != lab[1] and lab[1] != lab[2]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_improve_never_increases_and_completes(seed):
+    """QPBO-I: returns a complete labeling with energy <= the keep-zero
+    completion of the partial labeling."""
+    rng = np.random.default_rng(700 + seed)
+    n, m = 9, 16
+    inst = random_instance(rng, n, m, submodular=False)
+    labels, e, lb, n_unlab = qpbo_host.solve(*inst)
+    y, e_imp = qpbo_host.improve(labels, *inst, rounds=4, seed=seed)
+    assert set(np.unique(y)) <= {0, 1}
+    assert e_imp <= e + 1e-9
+    assert e_imp == pytest.approx(qpbo_host.labeling_energy(y, *inst), abs=1e-9)
+    assert lb <= e_imp + 1e-9
+
+
+def test_improve_helps_on_frustrated_instance():
+    """On instances with many unlabelled nodes, improve should usually find a
+    strictly better completion at least once across seeds."""
+    rng = np.random.default_rng(9)
+    gains = 0
+    for trial in range(10):
+        inst = random_instance(rng, 10, 24, submodular=False)
+        labels, e, _, n_unlab = qpbo_host.solve(*inst)
+        if n_unlab == 0:
+            continue
+        _, e_imp = qpbo_host.improve(labels, *inst, rounds=6, seed=trial)
+        if e_imp < e - 1e-9:
+            gains += 1
+    assert gains >= 1
