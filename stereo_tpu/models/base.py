@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from stereo_tpu import energy, geometry
 from stereo_tpu.solvers import binary, trws
+from stereo_tpu.utils.profiling import PhaseTimings
 
 
 class DispMap:
@@ -49,6 +50,9 @@ class DispMap:
         self.smooth_weights = energy.default_weights(H, W, dtype=self.dtype)
         self._assignment = None
         self._stored_energy = float("inf")
+        # cumulative per-phase wall clock (the info.timings equivalent,
+        # ojw_stereo_optim.m:57-58)
+        self.timings = PhaseTimings()
 
     # ------------------------------------------------------------- state
     @property
@@ -85,12 +89,14 @@ class DispMap:
         proposal = jnp.asarray(proposal, self.dtype)
         if proposal.shape != self._assignment.shape:
             raise ValueError("Binary fusion: proposal is of wrong size")
-        fused, e, lb = _binary_fusion_step(
-            self._assignment, proposal,
-            self.unary_map(self._assignment), self.unary_map(proposal),
-            self.smooth_weights, self.smoothness_kernel, self.tol,
-            self.normalize,
-        )
+        with self.timings.phase("binary_fusion"):
+            fused, e, lb = _binary_fusion_step(
+                self._assignment, proposal,
+                self.unary_map(self._assignment), self.unary_map(proposal),
+                self.smooth_weights, self.smoothness_kernel, self.tol,
+                self.normalize,
+            )
+            jax.block_until_ready(e)
         self._assignment = fused
         self._stored_energy = float(e)
         return self._stored_energy, float(lb)
@@ -141,18 +147,21 @@ class DispMap:
         all_props = [jnp.asarray(p, self.dtype) for p in proposals]
         all_props.append(self._assignment)
         stack = jnp.stack(all_props, axis=0)  # [K, 4, H, W]
-        unary = jnp.stack([self.unary_map(p) for p in all_props], axis=0)
+        with self.timings.phase("data"):
+            unary = jnp.stack([self.unary_map(p) for p in all_props], axis=0)
+            jax.block_until_ready(unary)
 
         messages = None
         total_iters = 0
         e = lb = None
         while total_iters < self.maxiter:
             chunk = min(self.solver_chunk, self.maxiter - total_iters)
-            labels, e, lb, iters, messages = _simultaneous_fusion_step(
-                stack, unary, self.smooth_weights, self.smoothness_kernel,
-                self.tol, self.normalize, chunk, self.max_relgap,
-                self.check_every, messages,
-            )
+            with self.timings.phase("simultaneous_fusion"):
+                labels, e, lb, iters, messages = _simultaneous_fusion_step(
+                    stack, unary, self.smooth_weights, self.smoothness_kernel,
+                    self.tol, self.normalize, chunk, self.max_relgap,
+                    self.check_every, messages,
+                )
             total_iters += int(iters)
             ef, lbf = float(e), float(lb)
             if trace is not None:

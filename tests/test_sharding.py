@@ -57,3 +57,50 @@ def test_batched_pairs_over_mesh(inputs):
         assert float(res.lower_bound[b]) == pytest.approx(
             float(ref.lower_bound), rel=1e-12
         )
+
+
+def test_model_level_batched_fusion():
+    """Two NCC models fused simultaneously over a (2, 4) mesh match their
+    individually-solved results."""
+    import copy
+
+    from stereo_tpu.models.ncc import DispMapNCC
+    from stereo_tpu.parallel import batch as batch_mod
+    from stereo_tpu import geometry as geom
+
+    rng = np.random.default_rng(0)
+    H, W = 16, 24
+
+    def make_model(seed):
+        r = np.random.default_rng(seed)
+        im1 = r.uniform(0, 255, (H, W, 3))
+        im0 = np.roll(im1, 3, axis=1) + r.normal(0, 2, (H, W, 3))
+        return DispMapNCC([im0, im1], np.arange(0, 7), kernel=1,
+                          unary_weight=40.0, tol=8.0)
+
+    models = [make_model(1), make_model(2)]
+    props = [
+        [geom.fronto_parallel(H, W, float(d), models[0].dtype) for d in (0, 3, 6)]
+        for _ in models
+    ]
+
+    # individual reference solves at the same fixed iteration budget
+    from stereo_tpu.parallel.batch import batched_problem
+
+    unary, D0, Q, alphas, stacks = batched_problem(models, props)
+    singles = []
+    for b in range(2):
+        r = trws.solve(unary[b], D0[b], Q[b], alphas[b], kernel=1,
+                       tol=models[0].tol, maxiter=4, max_relgap=0.0)
+        singles.append((float(r.energy), float(r.lower_bound)))
+
+    m = mesh_mod.make_mesh(8, batch=2)
+    out = batch_mod.simultaneous_fusion_batched(models, props, m,
+                                                maxiter=4, max_relgap=0.0)
+    for (e_b, lb_b, it_b), (e_s, lb_s) in zip(out, singles):
+        assert it_b == 4
+        assert e_b == pytest.approx(e_s, rel=1e-10)
+        assert lb_b == pytest.approx(lb_s, rel=1e-10)
+    # and the fused assignments carry the decoded labels
+    for dm in models:
+        assert np.isfinite(dm.energy())
