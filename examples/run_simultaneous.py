@@ -21,10 +21,13 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--maxiter", type=int, default=3000)
+    ap.add_argument("--schedule", default="checkerboard",
+                    choices=["checkerboard", "scanline"])
     ap.add_argument("--max-relgap", type=float, default=1e-5)
     args = ap.parse_args()
 
     dm = build_model(args.pair, args.dtype, args.seed)
+    dm.schedule = args.schedule
 
     t0 = time.perf_counter()
     segplns = dm.segpln(seed=args.seed)

@@ -33,7 +33,7 @@ class DispMap:
 
     def __init__(self, images, kernel: int, *, maxiter: int = 1000,
                  max_relgap: float = 1e-4, improve: bool = False,
-                 check_every: int = 8):
+                 check_every: int = 8, schedule: str = "checkerboard"):
         self.images = [jnp.asarray(im) for im in images]
         H, W = self.images[0].shape[:2]
         self.sz = (H, W)
@@ -46,6 +46,9 @@ class DispMap:
         # stopping-rule stride: decode/convergence-test every N TRW-S sweeps
         # (pure scheduling; the message math is unchanged)
         self.check_every = check_every
+        # TRW-S sweep schedule: 'checkerboard' (max parallel) or 'scanline'
+        # (row-sequential chains; far fewer sweeps to tight relative gaps)
+        self.schedule = schedule
         self.dtype = self.images[0].dtype
         self.smooth_weights = energy.default_weights(H, W, dtype=self.dtype)
         self._assignment = None
@@ -134,8 +137,10 @@ class DispMap:
 
     # device executions are chunked so no single XLA invocation runs for
     # minutes (long single executions can trip device watchdogs); messages
-    # warm-start across chunks, so the trajectory is identical
+    # warm-start across chunks, so the trajectory is identical.  Scanline
+    # sweeps cost ~70x a checkerboard sweep, hence the smaller chunk.
     solver_chunk: int = 1000
+    solver_chunk_scanline: int = 50
 
     def simultaneous_fusion(self, proposals, verbose: bool = False,
                             trace=None) -> tuple[float, float, int]:
@@ -154,13 +159,15 @@ class DispMap:
         messages = None
         total_iters = 0
         e = lb = None
+        chunk_size = (self.solver_chunk_scanline if self.schedule == "scanline"
+                      else self.solver_chunk)
         while total_iters < self.maxiter:
-            chunk = min(self.solver_chunk, self.maxiter - total_iters)
+            chunk = min(chunk_size, self.maxiter - total_iters)
             with self.timings.phase("simultaneous_fusion"):
                 labels, e, lb, iters, messages = _simultaneous_fusion_step(
                     stack, unary, self.smooth_weights, self.smoothness_kernel,
                     self.tol, self.normalize, chunk, self.max_relgap,
-                    self.check_every, messages,
+                    self.check_every, messages, self.schedule,
                 )
             total_iters += int(iters)
             ef, lbf = float(e), float(lb)
@@ -215,10 +222,11 @@ def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normali
 @functools.partial(
     jax.jit,
     static_argnames=("kernel", "normalize", "maxiter", "max_relgap",
-                     "check_every"),
+                     "check_every", "schedule"),
 )
 def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize,
-                              maxiter, max_relgap, check_every=1, messages=None):
+                              maxiter, max_relgap, check_every=1, messages=None,
+                              schedule="checkerboard"):
     def norm(x):
         if normalize is None:
             return x
@@ -232,7 +240,11 @@ def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize
         ],
         axis=0,
     )  # [4, K, H, W]
-    res = trws.solve(
+    if schedule == "scanline":
+        from stereo_tpu.solvers.scanline import solve_scanline as _solve
+    else:
+        _solve = trws.solve
+    res = _solve(
         unary, D0, Q, weights, kernel=kernel, tol=tol, maxiter=maxiter,
         max_relgap=max_relgap, check_every=check_every, messages=messages,
     )
