@@ -1,0 +1,171 @@
+"""Second-order scalar-disparity stereo — the ojw_stereo pipeline core.
+
+The reference bundles (but its examples never call) Woodford's full CVPR'08
+scalar-disparity stereo: a disparity value per pixel, a *triple-clique*
+second-order smoothness prior over 3 consecutive pixels per row/column
+(ojw_stereo.m:76-94 builds the clique index set; ibr_fuse_depths.m:166-187
+evaluates the truncated second derivative for all 8 cur/proposal corner
+combinations), optimized by QPBO fusion with the triple tables reduced to
+pairwise + auxiliary nodes (vgg_qpbo.cxx:209-256).
+
+This model reproduces that core (without the geometric visibility term,
+which is roadmapped):
+
+    E(d) = sum_p U_p(d_p)
+         + sum_{triples (p-,p,p+)} w_t * min(|d_{p-} - 2 d_p + d_{p+}|, tau)
+
+with U the Woodford photoconsistency unary (ops/photo) on the scalar field's
+fronto-parallel planes and w_t the segmentation-modulated weights of the
+center pixel's in-edges.  Unary/curvature maps evaluate on device; fusion
+moves solve on the native QPBO through the cubic reduction (host) — the
+device/tensor split mirrors the reference's MATLAB/mex boundary, now with an
+exact, tested solver underneath.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_tpu import geometry
+from stereo_tpu.config import CVPR08Options
+from stereo_tpu.ops import photo
+from stereo_tpu.solvers import qpbo_host
+
+
+def curvature_map(disp: jax.Array, axis: int) -> jax.Array:
+    """|d_{p-} - 2 d_p + d_{p+}| along rows (axis=1) or columns (axis=0);
+    zero where the triple leaves the image."""
+    H, W = disp.shape
+    z = jnp.zeros_like(disp)
+    if axis == 1:
+        inner = jnp.abs(disp[:, :-2] - 2.0 * disp[:, 1:-1] + disp[:, 2:])
+        return z.at[:, 1:-1].set(inner)
+    inner = jnp.abs(disp[:-2, :] - 2.0 * disp[1:-1, :] + disp[2:, :])
+    return z.at[1:-1, :].set(inner)
+
+
+class SecondOrderStereo:
+    """Scalar-disparity model with the triple-clique curvature prior."""
+
+    def __init__(self, images, P, disp_range, disparity_factor,
+                 options: CVPR08Options | None = None, *, seed: int = 0):
+        options = options or CVPR08Options()
+        self.options = options
+        self.images = [jnp.asarray(np.asarray(im), jnp.float32) for im in images]
+        H, W = self.images[0].shape[:2]
+        self.sz = (H, W)
+        self.P = np.asarray(P, dtype=np.float64)
+        disps = np.arange(disp_range[0] * disparity_factor,
+                          disp_range[1] * disparity_factor + 1, dtype=np.float64)
+        self.d_min = float(disps.min())
+        self.d_max = float(disps.max())
+        self.d_step = self.d_max - self.d_min
+        self.tau = float(options.disp_thresh)  # threshold on normalized d
+        # curvature weights: lambda_h inside segments (reuse the pairwise
+        # weight construction on the center pixel's horizontal/vertical edges)
+        from stereo_tpu.proposals import segmentation
+
+        seg = segmentation.mean_shift(
+            np.asarray(self.images[0]).astype(np.float64),
+            int(options.seg_params[0]), float(options.seg_params[1]),
+            int(options.seg_params[2]),
+        )
+        lam = np.where(
+            (np.roll(seg, 1, 1) == seg) & (np.roll(seg, -1, 1) == seg),
+            options.lambda_h, options.lambda_l,
+        )
+        lam_v = np.where(
+            (np.roll(seg, 1, 0) == seg) & (np.roll(seg, -1, 0) == seg),
+            options.lambda_h, options.lambda_l,
+        )
+        self.w_h = jnp.asarray(lam, jnp.float32)
+        self.w_v = jnp.asarray(lam_v, jnp.float32)
+
+        rng = np.random.default_rng(seed)
+        self._start = rng.random((H, W)) * self.d_step + self.d_min
+        self.disp = jnp.asarray(self._start, jnp.float32)
+
+    # ------------------------------------------------------------ energy
+    def unary_map(self, disp: jax.Array) -> jax.Array:
+        planes = geometry.plane_field_from_disparity(disp)
+        return photo.unary_cost(
+            planes, self.images[0], self.images[1],
+            jnp.asarray(self.P[1], jnp.float32), self.options.col_thresh,
+            d_min=self.d_min, d_step=max(self.d_step, 1.0),
+        )
+
+    def smooth_map(self, disp: jax.Array) -> jax.Array:
+        dn = (disp - self.d_min) / max(self.d_step, 1.0)
+        ch = jnp.minimum(curvature_map(dn, 1), self.tau) * self.w_h
+        cv = jnp.minimum(curvature_map(dn, 0), self.tau) * self.w_v
+        return ch + cv
+
+    def energy(self) -> float:
+        return float(_scalar_energy(self))
+
+    # ------------------------------------------------------------ fusion
+    def fuse(self, proposal) -> float:
+        """One QPBO fusion with triple cliques; never increases energy."""
+        H, W = self.sz
+        cur = np.asarray(self.disp, np.float64)
+        prop = np.asarray(jnp.asarray(proposal), np.float64)
+        U0 = np.asarray(self.unary_map(self.disp), np.float64).ravel()
+        U1 = np.asarray(self.unary_map(jnp.asarray(prop, jnp.float32)),
+                        np.float64).ravel()
+        cur_n = (cur - self.d_min) / max(self.d_step, 1.0)
+        prop_n = (prop - self.d_min) / max(self.d_step, 1.0)
+
+        nid = np.arange(H * W).reshape(H, W)
+        triples = []
+        w_h = np.asarray(self.w_h, np.float64)
+        w_v = np.asarray(self.w_v, np.float64)
+
+        def add_triples(ids_a, ids_b, ids_c, w_center):
+            vals = np.stack([
+                np.stack([cur_n.ravel()[ids_a], prop_n.ravel()[ids_a]]),
+                np.stack([cur_n.ravel()[ids_b], prop_n.ravel()[ids_b]]),
+                np.stack([cur_n.ravel()[ids_c], prop_n.ravel()[ids_c]]),
+            ])  # [3, 2, T]
+            T = ids_a.shape[0]
+            table = np.empty((2, 2, 2, T))
+            for xa in range(2):
+                for xb in range(2):
+                    for xc in range(2):
+                        d2 = np.abs(vals[0, xa] - 2 * vals[1, xb] + vals[2, xc])
+                        table[xa, xb, xc] = np.minimum(d2, self.tau) * w_center
+            for t in range(T):
+                triples.append((int(ids_a[t]), int(ids_b[t]), int(ids_c[t]),
+                                table[:, :, :, t]))
+
+        ids = nid[:, :-2].ravel(), nid[:, 1:-1].ravel(), nid[:, 2:].ravel()
+        add_triples(*ids, w_h[:, 1:-1].ravel())
+        ids = nid[:-2, :].ravel(), nid[1:-1, :].ravel(), nid[2:, :].ravel()
+        add_triples(*ids, w_v[1:-1, :].ravel())
+
+        labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
+            U0, U1, [], [], [], [], [], [], triples,
+        )
+        e_cur = self.energy()
+        if e <= e_cur:
+            take = (labels == 1).reshape(H, W)
+            self.disp = jnp.asarray(np.where(take, prop, cur), jnp.float32)
+            return self.energy()
+        return e_cur
+
+    def restart(self):
+        self.disp = jnp.asarray(self._start, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _scalar_energy_impl(unary, smooth):
+    acc = jnp.promote_types(unary.dtype, jnp.float32)
+    return jnp.sum(unary, dtype=acc) + jnp.sum(smooth, dtype=acc)
+
+
+def _scalar_energy(model: SecondOrderStereo):
+    return _scalar_energy_impl(model.unary_map(model.disp),
+                               model.smooth_map(model.disp))

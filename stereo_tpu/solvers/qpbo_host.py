@@ -60,6 +60,119 @@ def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
     return labels, float(energy.value), float(lb.value), int(n_unlab.value)
 
 
+def solve_with_triples(U0, U1, tails, heads, E00, E01, E10, E11, triples,
+                       improve: bool = False, weak: bool = True):
+    """QPBO with triple cliques — the vgg_qpbo capability
+    (imrender/vgg/vgg_qpbo.cxx:209-256 reduces each 8-entry triple table to
+    pairwise terms plus one auxiliary node; here via the Freedman-Drineas
+    cubic reduction rather than the mex's regularity-projection code).
+
+    triples: list of (i, j, k, table) with table[x_i, x_j, x_k] of shape
+    (2, 2, 2).  Returns (labels [N] for the original variables, energy,
+    lower_bound, n_unlabelled) where the reported energy is re-evaluated on
+    the original energy (aux labels marginalized exactly).
+    """
+    U0_orig = np.asarray(U0, dtype=np.float64).ravel()
+    U1_orig = np.asarray(U1, dtype=np.float64).ravel()
+    U0 = U0_orig.copy()
+    U1 = U1_orig.copy()
+    n = len(U0)
+    tails_orig = np.asarray(tails, dtype=np.int64).ravel()
+    heads_orig = np.asarray(heads, dtype=np.int64).ravel()
+    tails = list(tails_orig)
+    heads = list(heads_orig)
+    pe = [list(np.asarray(e, dtype=np.float64).ravel())
+          for e in (E00, E01, E10, E11)]
+    extra_u = []  # (node, du0, du1) — aux nodes appended after the n originals
+
+    def add_pair(a, b, t00, t01, t10, t11):
+        tails.append(a)
+        heads.append(b)
+        for lst, v in zip(pe, (t00, t01, t10, t11)):
+            lst.append(v)
+
+    def add_unary(i, w):  # energy w * x_i
+        nonlocal U0, U1
+        if i < n:
+            U1[i] += w
+        else:
+            extra_u[i - n][2] += w
+
+    n_aux = 0
+    const = 0.0
+    for (i, j, k, table) in triples:
+        t = np.asarray(table, dtype=np.float64).reshape(2, 2, 2)
+        # multilinear coefficients
+        c0 = t[0, 0, 0]
+        ci = t[1, 0, 0] - c0
+        cj = t[0, 1, 0] - c0
+        ck = t[0, 0, 1] - c0
+        cij = t[1, 1, 0] - c0 - ci - cj
+        cik = t[1, 0, 1] - c0 - ci - ck
+        cjk = t[0, 1, 1] - c0 - cj - ck
+        cijk = t[1, 1, 1] - c0 - ci - cj - ck - cij - cik - cjk
+        const += c0
+        add_unary(i, ci)
+        add_unary(j, cj)
+        add_unary(k, ck)
+        if cij:
+            add_pair(i, j, 0, 0, 0, cij)
+        if cik:
+            add_pair(i, k, 0, 0, 0, cik)
+        if cjk:
+            add_pair(j, k, 0, 0, 0, cjk)
+        if cijk:
+            w_id = n + n_aux
+            n_aux += 1
+            extra_u.append([w_id, 0.0, 0.0])
+            a = cijk
+            if a < 0:
+                # a*x_i*x_j*x_k = min_w a*w*(x_i + x_j + x_k - 2):
+                # three E11 pairwise terms a*w*x_. plus unary -2a*w
+                extra_u[-1][2] += -2.0 * a
+                add_pair(i, w_id, 0, 0, 0, a)
+                add_pair(j, w_id, 0, 0, 0, a)
+                add_pair(k, w_id, 0, 0, 0, a)
+            else:
+                # a*x_i*x_j*x_k = a*x_j*x_k - a*(1-x_i)*x_j*x_k; the second
+                # term has a negative cubic coefficient in (1-x_i, x_j, x_k):
+                # -a*(1-x_i)*x_j*x_k = min_w [-a*w*(1-x_i) - a*w*x_j
+                #                             - a*w*x_k + 2a*w]
+                add_pair(j, k, 0, 0, 0, a)
+                extra_u[-1][2] += 2.0 * a
+                add_pair(i, w_id, 0, -a, 0, 0)  # E01: -a*w*(1-x_i)
+                add_pair(j, w_id, 0, 0, 0, -a)  # E11: -a*w*x_j
+                add_pair(k, w_id, 0, 0, 0, -a)
+
+    U0_full = np.concatenate([U0, [u[1] for u in extra_u]])
+    U1_full = np.concatenate([U1, [u[2] for u in extra_u]])
+    labels, e_raw, lb, n_unlab = solve(
+        U0_full, U1_full, tails, heads, *pe, improve=improve, weak=weak,
+    )
+    lb += const
+    lab_orig = labels[:n]
+    # energy of the keep-zero completion on the ORIGINAL energy
+    y = np.where(lab_orig >= 0, lab_orig, 0)
+    E = triples_energy(y, U0_orig, U1_orig, tails_orig, heads_orig,
+                       E00, E01, E10, E11, triples)
+    n_unlab = int((lab_orig < 0).sum())
+    return lab_orig, E, lb, n_unlab
+
+
+def triples_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11, triples):
+    """Energy of a 0/1 labeling under unary + pairwise + triple terms."""
+    E = labeling_energy(lab, U0, U1, np.asarray(tails, dtype=np.int64),
+                        np.asarray(heads, dtype=np.int64),
+                        np.asarray(E00, dtype=np.float64),
+                        np.asarray(E01, dtype=np.float64),
+                        np.asarray(E10, dtype=np.float64),
+                        np.asarray(E11, dtype=np.float64))
+    for (i, j, k, table) in triples:
+        t = np.asarray(table, dtype=np.float64).reshape(2, 2, 2)
+        E += float(t[lab[i], lab[j], lab[k]])
+    return E
+
+
 def improve(labels, U0, U1, tails, heads, E00, E01, E10, E11,
             rounds: int = 3, seed: int = 0):
     """QPBO-I (the rd_mex Improve path, rd_mex.cpp:91-92): randomized

@@ -170,3 +170,59 @@ def test_improve_helps_on_frustrated_instance():
         if e_imp < e - 1e-9:
             gains += 1
     assert gains >= 1
+
+
+def brute_force_triples(U0, U1, tails, heads, E00, E01, E10, E11, triples):
+    n = len(U0)
+    best, best_lab = np.inf, None
+    for bits in itertools.product([0, 1], repeat=n):
+        lab = np.array(bits)
+        E = qpbo_host.triples_energy(lab, U0, U1, tails, heads,
+                                     E00, E01, E10, E11, triples)
+        if E < best:
+            best, best_lab = E, lab
+    return best, best_lab
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_triple_cliques_lower_bound_and_exactness(seed):
+    """Triple-clique QPBO (vgg_qpbo equivalent): valid bound always; exact
+    optimum whenever every node gets labeled."""
+    rng = np.random.default_rng(900 + seed)
+    n, m, T = 6, 6, 4
+    U0 = rng.normal(0, 1, n)
+    U1 = rng.normal(0, 1, n)
+    tails = rng.integers(0, n, m)
+    heads = (tails + 1 + rng.integers(0, n - 1, m)) % n
+    E00, E01, E10, E11 = (rng.normal(0, .5, m) for _ in range(4))
+    triples = []
+    for _ in range(T):
+        ijk = rng.choice(n, size=3, replace=False)
+        triples.append((int(ijk[0]), int(ijk[1]), int(ijk[2]),
+                        rng.normal(0, 1, (2, 2, 2))))
+
+    lab, e, lb, n_unlab = qpbo_host.solve_with_triples(
+        U0, U1, tails, heads, E00, E01, E10, E11, triples)
+    best, best_lab = brute_force_triples(U0, U1, tails, heads,
+                                         E00, E01, E10, E11, triples)
+    assert lb <= best + 1e-9
+    assert e >= best - 1e-9
+    if n_unlab == 0:
+        assert e == pytest.approx(best, abs=1e-9)
+
+
+def test_triple_cliques_pure_cubic_terms():
+    """Isolated cubic terms of both signs solve exactly."""
+    for sign in (+1.0, -1.0):
+        table = np.zeros((2, 2, 2))
+        table[1, 1, 1] = sign * 3.0
+        U0 = np.zeros(3)
+        U1 = np.array([-1.0, -1.0, -1.0])  # prefer all ones
+        lab, e, lb, nu = qpbo_host.solve_with_triples(
+            U0, U1, [], [], [], [], [], [], [(0, 1, 2, table)])
+        best, _ = brute_force_triples(U0, U1, np.array([], int),
+                                      np.array([], int), [], [], [], [],
+                                      [(0, 1, 2, table)])
+        assert lb <= best + 1e-9
+        if nu == 0:
+            assert e == pytest.approx(best, abs=1e-9)
