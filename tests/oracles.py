@@ -129,8 +129,13 @@ class SequentialTRWS:
             pos[node] = rank
         self.pos = pos
         self.edges = []
-        for (t, h, alpha, qs, qd) in edges:
-            V = self._table(alpha, np.asarray(qs), np.asarray(qd))
+        for e in edges:
+            if len(e) == 3:  # explicit table (t, h, V[k_t, k_h])
+                t, h, V = e
+                V = np.asarray(V, dtype=np.float64)
+            else:
+                t, h, alpha, qs, qd = e
+                V = self._table(alpha, np.asarray(qs), np.asarray(qd))
             self.edges.append(dict(t=t, h=h, V=V, msg=np.zeros(self.K)))
         # incident edge lists
         self.inc = [[] for _ in range(self.N)]
