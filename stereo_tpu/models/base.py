@@ -139,7 +139,7 @@ class DispMap:
     # minutes (long single executions can trip device watchdogs); messages
     # warm-start across chunks, so the trajectory is identical.  Scanline
     # sweeps cost ~70x a checkerboard sweep, hence the smaller chunk.
-    solver_chunk: int = 1000
+    solver_chunk: int = 300  # ~60s worst case at K~80 baby2 scale
     solver_chunk_scanline: int = 50
 
     def simultaneous_fusion(self, proposals, verbose: bool = False,

@@ -63,13 +63,20 @@ def _tile_kernel(tol_ref, ha_ref, hb_ref, p_ref, r_ref, alpha_ref,
 @functools.partial(jax.jit,
                    static_argnames=("kernel", "th", "tw", "interpret"))
 def minplus_pair_pallas(H_A, H_B, P, R, alpha, tol, kernel: int,
-                        th: int = 8, tw: int = 512, interpret: bool = False):
+                        th: int = 8, tw: int | None = None,
+                        interpret: bool = False):
     """Pallas TPU implementation; same contract as minplus_pair_xla
     (tol may be a traced scalar — it rides in SMEM)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     K, H, W = P.shape
+    if tw is None:
+        # keep ~7 live [K, th, tw] f32 buffers + double buffering under the
+        # 16 MB VMEM budget: cap per-buffer elements at ~128k
+        tw = 512
+        while tw > 128 and K * th * tw > 128 * 1024:
+            tw //= 2
     pad_h = (-H) % th
     pad_w = (-W) % tw
     if pad_h or pad_w:

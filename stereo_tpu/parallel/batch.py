@@ -25,6 +25,11 @@ def batched_problem(models, proposals_per_model):
     Returns (unary [B,K,H,W], D0 [B,K,H,W], Q [B,4,K,H,W], alphas [B,4,H,W],
     prop_stacks [B,K,4,H,W]).
     """
+    shapes = {m.sz for m in models}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"batched fusion needs same-shaped problems, got sizes {sorted(shapes)}"
+        )
     unaries, D0s, Qs, alphas, stacks = [], [], [], [], []
     for dm, props in zip(models, proposals_per_model):
         all_props = [jnp.asarray(p, dm.dtype) for p in props]
