@@ -46,13 +46,12 @@ def run_bench(n_moves=24, warmup=2):
     while len(proposals) < n_moves + warmup:
         proposals.extend(proposals[: n_moves + warmup - len(proposals)])
 
-    # warmup (compile)
-    for P in proposals[:warmup]:
-        dm.binary_fusion(P)
+    # warmup: compile the sweep at the exact timed stack shape
+    dm.binary_fusion_sweep(proposals[:n_moves], chunk=n_moves)
 
     t0 = time.perf_counter()
-    for P in proposals[warmup:warmup + n_moves]:
-        e, lb = dm.binary_fusion(P)
+    es = dm.binary_fusion_sweep(proposals[warmup:warmup + n_moves],
+                                chunk=n_moves)
     jax.block_until_ready(dm.assignment)
     dt = time.perf_counter() - t0
     tpu_moves_per_sec = n_moves / dt

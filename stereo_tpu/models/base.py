@@ -104,6 +104,35 @@ class DispMap:
         self._stored_energy = float(e)
         return self._stored_energy, float(lb)
 
+    def binary_fusion_sweep(self, proposals, chunk: int = 64) -> list[float]:
+        """Fuse a whole proposal stream in one device program per chunk.
+
+        Identical math to calling binary_fusion per proposal, but the
+        proposal loop is a lax.scan: no host round-trips between moves
+        (the reference pays a full MATLAB<->mex marshalling per rd call,
+        rd.m:21).  Returns the per-move energy trace.
+        """
+        unary_p = self.unary_partial()
+        energies = []
+        for c0 in range(0, len(proposals), chunk):
+            stack = jnp.stack(
+                [jnp.asarray(p, self.dtype) for p in proposals[c0:c0 + chunk]], 0
+            )
+            with self.timings.phase("binary_fusion_sweep"):
+                fused, es, lbs = _fusion_sweep(
+                    self._assignment, stack, self.smooth_weights,
+                    self.smoothness_kernel, self.tol, self.normalize, unary_p,
+                )
+                jax.block_until_ready(es)
+            self._assignment = fused
+            energies.extend(float(e) for e in np.asarray(es))
+        self._stored_energy = energies[-1] if energies else self.energy()
+        return energies
+
+    def unary_partial(self):
+        """Traceable unary callable (jax.tree_util.Partial); see subclasses."""
+        raise NotImplementedError
+
     def binary_fuse_until_convergence(self, proposals, seed: int = 0,
                                       verbose: bool = False) -> int:
         """Randomized sweep until no proposal improves the energy
@@ -209,6 +238,22 @@ class DispMap:
 @functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
 def _total_energy(planes, weights, unary, kernel, tol, normalize):
     return energy.total_energy(unary, planes, weights, kernel, tol, normalize)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
+def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p):
+    """lax.scan of fusion moves over a [P, 4, H, W] proposal stack."""
+
+    def step(cur, prop):
+        U0 = unary_p(cur)
+        U1 = unary_p(prop)
+        D0, Q = binary.fusion_problem(cur, prop, normalize)
+        res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol)
+        fused = energy.fuse_labelling(cur, prop, res.take)
+        return fused, (res.energy, res.lower_bound)
+
+    fused, (es, lbs) = jax.lax.scan(step, current, prop_stack)
+    return fused, es, lbs
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "normalize"))

@@ -94,6 +94,16 @@ class DispMapGlobalStereo(DispMap):
             self.d_min, self.d_step,
         )
 
+    def unary_partial(self):
+        """Traceable unary as a pytree-of-arrays callable (for fused sweeps)."""
+        return jax.tree_util.Partial(
+            unary_pure, self.images[0], self.images[1],
+            jnp.asarray(self.P[1], self.dtype),
+            jnp.asarray(self.options.col_thresh, self.dtype),
+            jnp.asarray(self.d_min, self.dtype),
+            jnp.asarray(self.d_step, self.dtype),
+        )
+
     # ---------------------------------------------------------- proposals
     def segpln(self, seed: int = 0) -> list[jax.Array]:
         """14 segmentation-driven piecewise-planar proposals (:60-201)."""
@@ -106,9 +116,15 @@ class DispMapGlobalStereo(DispMap):
         return [jnp.asarray(p, self.dtype) for p in props]
 
 
-@functools.partial(jax.jit, static_argnames=("col_thresh", "d_min", "d_step"))
-def _global_unary(planes, im_ref, im_other, P_other, col_thresh, d_min, d_step):
+def unary_pure(im_ref, im_other, P_other, col_thresh, d_min, d_step, planes):
+    """Pure Woodford unary: all inputs traceable."""
     return photo.unary_cost(
         planes, im_ref, im_other, P_other, col_thresh,
         d_min=d_min, d_step=d_step,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("col_thresh", "d_min", "d_step"))
+def _global_unary(planes, im_ref, im_other, P_other, col_thresh, d_min, d_step):
+    return unary_pure(im_ref, im_other, P_other, col_thresh, d_min, d_step,
+                      planes)

@@ -40,6 +40,13 @@ class DispMapNCC(DispMap):
         return _ncc_unary(planes, self.ncc, tuple(self.disparities),
                           self.unary_weight)
 
+    def unary_partial(self):
+        """Traceable unary as a pytree-of-arrays callable (for fused sweeps)."""
+        return jax.tree_util.Partial(
+            unary_pure, self.ncc, jnp.asarray(self.disparities, self.dtype),
+            jnp.asarray(self.unary_weight, self.dtype),
+        )
+
     # ------------------------------------------------------------- setup
     def restart(self):
         """Reset to the NCC WTA initial solution (dispmap_ncc.m:100-103)."""
@@ -64,11 +71,17 @@ def _compute_ncc(im0, im1, disparities):
     return ncc_ops.compute_ncc(im0, im1, np.asarray(disparities))
 
 
+def unary_pure(ncc_vol, disparities, unary_weight, planes):
+    """Pure NCC unary: all inputs traceable (dispmap_ncc.m:107-115)."""
+    disp = geometry.own_disparity(planes)
+    vals = ncc_ops.sample_at(ncc_vol, disparities, disp)
+    return unary_weight * (1.0 - vals)
+
+
 @functools.partial(jax.jit, static_argnames=("disparities",))
 def _ncc_unary(planes, ncc_vol, disparities, unary_weight):
-    disp = geometry.own_disparity(planes)
-    vals = ncc_ops.sample_at(ncc_vol, np.asarray(disparities), disp)
-    return unary_weight * (1.0 - vals)
+    return unary_pure(ncc_vol, jnp.asarray(np.asarray(disparities)),
+                      unary_weight, planes)
 
 
 @functools.partial(jax.jit, static_argnames=("disparities",))

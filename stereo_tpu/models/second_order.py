@@ -159,6 +159,71 @@ class SecondOrderStereo:
     def restart(self):
         self.disp = jnp.asarray(self._start, jnp.float32)
 
+    # --------------------------------------------------------- optimization
+    def optimize(self, schedule=("fronto", "smooth", "random"),
+                 max_iters: int | None = None, average_over: int | None = None,
+                 converge: float | None = None, seed: int = 0,
+                 verbose: bool = False) -> list[float]:
+        """Proposal-schedule fusion loop (ojw_stereo_optim.m:53-146).
+
+        Schedule entries (the reference's fronto-parallel magic codes,
+        :75-105): 'random' (code 0: uniform random field), 'fronto'
+        (1: random constant), 'smooth' (2: current solution averaged over
+        rows/columns, alternating), 'sweep_ftb'/'sweep_btf' (3/-3: ordered
+        constant sweeps), or an explicit [H, W] array.  Stops when the
+        percentage energy decrease over ``average_over`` fusions drops below
+        ``converge`` (:64-67: thresholds scaled by 0.01 * average_over).
+
+        Returns the energy trace.
+        """
+        opts = self.options
+        max_iters = max_iters if max_iters is not None else opts.max_iters
+        average_over = (average_over if average_over is not None
+                        else opts.average_over)
+        converge_thr = (converge if converge is not None
+                        else opts.converge) * 0.01 * average_over
+        rng = np.random.default_rng(seed)
+        H, W = self.sz
+        nd = max(int(round(self.d_step)) + 1, 2)
+
+        energies = [self.energy()]
+        for it in range(max_iters):
+            kind = schedule[it % len(schedule)]
+            if isinstance(kind, str):
+                if kind == "random":
+                    Dnew = rng.random((H, W)) * self.d_step + self.d_min
+                elif kind == "fronto":
+                    Dnew = np.full((H, W),
+                                   rng.random() * self.d_step + self.d_min)
+                elif kind == "smooth":
+                    dn = (np.asarray(self.disp, np.float64) - self.d_min)
+                    if it % 2:
+                        dn[1:-1, :] = (dn[:-2, :] + dn[2:, :]) / 2
+                    else:
+                        dn[:, 1:-1] = (dn[:, :-2] + dn[:, 2:]) / 2
+                    Dnew = dn + self.d_min
+                elif kind == "sweep_ftb":
+                    f = 1.0 - (it % nd) / (nd - 1)
+                    Dnew = np.full((H, W), f * self.d_step + self.d_min)
+                elif kind == "sweep_btf":
+                    f = (it % nd) / (nd - 1)
+                    Dnew = np.full((H, W), f * self.d_step + self.d_min)
+                else:
+                    raise ValueError(f"unknown proposal kind {kind!r}")
+            else:
+                Dnew = np.asarray(kind, np.float64)
+            Dnew = np.maximum(Dnew, self.d_min)
+            e = self.fuse(Dnew)
+            energies.append(e)
+            if verbose:
+                print(f"  iter {it} [{kind if isinstance(kind, str) else 'array'}]"
+                      f": E = {e:.6g}")
+            if len(energies) > average_over:
+                prev = energies[-1 - average_over]
+                if prev > 0 and 1.0 - energies[-1] / prev <= converge_thr:
+                    break
+        return energies
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _scalar_energy_impl(unary, smooth):

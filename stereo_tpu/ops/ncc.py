@@ -119,7 +119,7 @@ def compute_ncc(
 def _parabola_coeffs(ncc, disparities, t2, y2, ok):
     """Quadratic r*d^2 + p*d + q through the 3 samples around index t2
     (interpolate_ncc, dispmap_ncc.m:250-276).  t2: [H, W] int32 0-based."""
-    d = jnp.asarray(np.asarray(disparities, dtype=np.float64), ncc.dtype)
+    d = jnp.asarray(disparities, ncc.dtype)
     t1 = jnp.where(ok, t2 - 1, t2)
     t3 = jnp.where(ok, t2 + 1, t2)
     d1, d2, d3 = d[t1], d[t2], d[t3]
@@ -151,7 +151,7 @@ def best_disparity(ncc: jax.Array, disparities) -> jax.Array:
 def nearest_index(disparities, disp: jax.Array) -> jax.Array:
     """Index of the closest grid disparity, ties toward the larger index —
     matching the reference's <=-scan (dispmap_ncc.m:227-236)."""
-    d = jnp.asarray(np.asarray(disparities, dtype=np.float64), disp.dtype)
+    d = jnp.asarray(disparities, disp.dtype)
     D = d.shape[0]
     j = jnp.searchsorted(d, disp, side="left").astype(jnp.int32)
     j = jnp.clip(j, 0, D - 1)
@@ -162,15 +162,16 @@ def nearest_index(disparities, disp: jax.Array) -> jax.Array:
 
 def sample_at(ncc: jax.Array, disparities, disp: jax.Array) -> jax.Array:
     """NCC value at continuous disparities (sample_ncc_from_disp,
-    dispmap_ncc.m:222-249)."""
-    disparities_np = np.asarray(disparities, dtype=np.float64)
+    dispmap_ncc.m:222-249).  ``disparities`` may be a (traced) jax array —
+    the grid is ascending by construction."""
+    d = jnp.asarray(disparities, disp.dtype)
     D = ncc.shape[0]
-    t2 = nearest_index(disparities_np, disp)
+    t2 = nearest_index(d, disp)
     y2 = jnp.take_along_axis(ncc, t2[None], axis=0)[0]
     ok = (t2 > 0) & (t2 < D - 1)
-    r, p, q, _ = _parabola_coeffs(ncc, disparities_np, t2, y2, ok)
+    r, p, q, _ = _parabola_coeffs(ncc, d, t2, y2, ok)
     val = r * disp * disp + p * disp + q
     val = jnp.where(t2 == 0, ncc[0], val)
     val = jnp.where(t2 == D - 1, ncc[D - 1], val)
-    good = (disp >= disparities_np.min()) & (disp <= disparities_np.max())
+    good = (disp >= d[0]) & (disp <= d[-1])
     return jnp.where(good, val, -LARGEVAL)

@@ -78,3 +78,23 @@ def test_restart_resets_energy(model):
     model.binary_fusion(geometry.fronto_parallel(H, W, 4.0, model.dtype))
     model.restart()
     assert model.energy() == pytest.approx(e0)
+
+
+def test_fusion_sweep_matches_sequential(model):
+    """binary_fusion_sweep == the per-call loop, move for move."""
+    H, W = model.sz
+    props = [geometry.fronto_parallel(H, W, float(d), model.dtype)
+             for d in (0, 2, 4, 6, 8)]
+
+    model.restart()
+    seq = []
+    for P in props:
+        e, lb = model.binary_fusion(P)
+        seq.append(e)
+    a_seq = np.asarray(model.assignment)
+
+    model.restart()
+    swept = model.binary_fusion_sweep(props, chunk=3)
+    np.testing.assert_allclose(swept, seq, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(model.assignment), a_seq, rtol=1e-10)
+    assert model.energy() == pytest.approx(seq[-1], rel=1e-8)

@@ -60,3 +60,18 @@ def test_smooth_proposal_fusion():
     dm.fuse(np.tile(np.linspace(0, 4, W), (H, 1)))
     after = float(np.asarray(dm.smooth_map(dm.disp)).sum())
     assert after <= before + 1e-6
+
+
+def test_optimize_schedule_converges():
+    dm = make_model(seed=2)
+    es = dm.optimize(schedule=("fronto", "smooth", "sweep_ftb"),
+                     max_iters=12, average_over=4, converge=0.1, seed=0)
+    assert all(b <= a + 1e-6 for a, b in zip(es, es[1:]))
+    assert es[-1] < es[0]
+
+
+def test_optimize_unknown_kind_raises():
+    dm = make_model(seed=3)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown proposal kind"):
+        dm.optimize(schedule=("bogus",), max_iters=1)
