@@ -1,0 +1,110 @@
+"""Fused checkerboard-phase message kernel.
+
+One pallas_call computes, for a pixel tile, the *selected and normalized*
+messages of all four edge families in a single VMEM pass:
+
+  per direction d and pixel p (head of edge E(p, d), tail n = p + DIRS[d]):
+    variant B (p is the phase's source):  msg[i] = min_j H_B[j] + a TR(|Q_i - D0_j|)
+    variant A (n is the source):          msg[j] = min_i H_A[i] + a TR(|Q_i - D0_j|)
+  where H_B = gD(p) - M, H_A = gD(n) - M; the per-pixel checkerboard mask
+  picks the variant, the per-pixel minimum is subtracted, border edges are
+  zeroed, and the minima are emitted for the lower-bound accumulation.
+
+Compared to calling ops/minplus per direction, this removes six pallas
+fusion barriers per phase and halves message write traffic (only the
+selected variant is stored).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stereo_tpu.energy import truncated_kernel
+
+
+def _kernel(tol_ref, gD_ref, gDs_ref, M_ref, Q_ref, D0_ref, alpha_ref,
+            srcmask_ref, valid_ref, newM_ref, vmin_ref, *, kernel: int,
+            K: int):
+    tol = tol_ref[0]
+    D0 = D0_ref[...]  # [K, th, tw]
+    gD = gD_ref[...]
+    src_is_head = srcmask_ref[0]  # [th, tw]
+    for d in range(4):
+        alpha = alpha_ref[d]
+        M = M_ref[d]
+        Q = Q_ref[d]
+        HB = gD - M  # [K, th, tw]
+        HA = gDs_ref[d] - M
+        accB = None  # msgB[i] accumulates min over j
+        rowsA = []  # msgA[j]
+        for j in range(K):
+            term = alpha[None] * truncated_kernel(Q - D0[j][None], kernel, tol)
+            rowsA.append(jnp.min(HA + term, axis=0))
+            contrib = HB[j][None] + term
+            accB = contrib if accB is None else jnp.minimum(accB, contrib)
+        msgA = jnp.stack(rowsA, axis=0)
+        msg = jnp.where(src_is_head[None], accB, msgA)
+        vmin = jnp.min(msg, axis=0)
+        msg = (msg - vmin[None]) * valid_ref[d][None]
+        newM_ref[d] = msg
+        vmin_ref[d] = vmin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "th", "interpret"))
+def phase_messages_pallas(gD, gD_shifted, M, Q, D0, alphas, src_is_head,
+                          valid, tol, kernel: int, th: int = 8,
+                          interpret: bool = False):
+    """All-direction fused phase messages.
+
+    gD, D0: [K, H, W]; gD_shifted, M, Q: [4, K, H, W];
+    alphas, valid: [4, H, W]; src_is_head: [H, W] (1.0 where the head pixel
+    is this phase's source).  Returns (newM [4, K, H, W], vmins [4, H, W]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, H, W = gD.shape
+    # VMEM budget: ~19K tile planes live; cap plane elements accordingly
+    tw = 512
+    while tw > 128 and 19 * K * th * tw * 4 > 10 * 1024 * 1024:
+        tw //= 2
+    pad_h = (-H) % th
+    pad_w = (-W) % tw
+    if pad_h or pad_w:
+        pr = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pad_h), (0, pad_w)])
+        gD, gD_shifted, M, Q, D0, alphas, valid = map(
+            pr, (gD, gD_shifted, M, Q, D0, alphas, valid))
+        src_is_head = jnp.pad(src_is_head, [(0, pad_h), (0, pad_w)])
+    Hp, Wp = H + pad_h, W + pad_w
+
+    grid = (Hp // th, Wp // tw)
+    k3 = pl.BlockSpec((K, th, tw), lambda h, w: (0, h, w),
+                      memory_space=pltpu.VMEM)
+    k4 = pl.BlockSpec((4, K, th, tw), lambda h, w: (0, 0, h, w),
+                      memory_space=pltpu.VMEM)
+    p3 = pl.BlockSpec((4, th, tw), lambda h, w: (0, h, w),
+                      memory_space=pltpu.VMEM)
+    p1 = pl.BlockSpec((1, th, tw), lambda h, w: (0, h, w),
+                      memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    newM, vmins = pl.pallas_call(
+        functools.partial(_kernel, kernel=kernel, K=K),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[sm, k3, k4, k4, k4, k3, p3, p1, p3],
+        out_specs=[k4, p3],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, K, Hp, Wp), gD.dtype),
+            jax.ShapeDtypeStruct((4, Hp, Wp), gD.dtype),
+        ],
+    )(jnp.asarray(tol, gD.dtype).reshape(1), gD, gD_shifted, M, Q, D0,
+      alphas, src_is_head[None].astype(gD.dtype), valid)
+    if pad_h or pad_w:
+        newM = newM[..., :H, :W]
+        vmins = vmins[..., :H, :W]
+    return newM, vmins

@@ -116,6 +116,29 @@ def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
 
     gD = gamma[None] * Dall  # [K, H, W]
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused whole-phase kernel: one pallas call for all 4 directions with
+        # in-kernel variant selection + normalization
+        from stereo_tpu.ops.phase_kernel import phase_messages_pallas
+
+        gDs = jnp.stack(
+            [geometry.shift_from_neighbor(gD, d, fill=0.0)
+             for d in range(NUM_DIRS)], axis=0
+        )
+        newM, vmins = phase_messages_pallas(
+            gD, gDs, M, Q, D0, alphas,
+            phase_mask.astype(dtype), valid, tol, kernel,
+        )
+        lb_msgs = jnp.zeros((), dtype)
+        if accumulate_lb:
+            lb_msgs = jnp.sum(
+                jnp.where(valid > 0, vmins, 0.0),
+                dtype=jnp.promote_types(dtype, jnp.float32),
+            )
+        return newM, lb_nodes, lb_msgs
+
     newM = []
     lb_msgs = jnp.zeros((), dtype)
     from stereo_tpu.ops.minplus import minplus_pair

@@ -48,3 +48,41 @@ def test_variants_are_transposes_of_same_table():
             np.testing.assert_allclose(
                 np.asarray(b)[:, y, x], (H_B[:, y, x][None, :] + C).min(1),
                 rtol=1e-6)
+
+
+def test_fused_phase_kernel_matches_xla_phase():
+    """phase_messages_pallas (interpret) == the per-direction XLA path."""
+    import jax.numpy as jnp
+    from stereo_tpu import geometry
+    from stereo_tpu.ops.phase_kernel import phase_messages_pallas
+    from stereo_tpu.solvers import trws
+
+    rng = np.random.default_rng(0)
+    K, H, W = 4, 6, 9
+    f = jnp.float32
+    theta = jnp.asarray(rng.uniform(0, 4, (K, H, W)), f)
+    D0 = jnp.asarray(rng.normal(0, 2, (K, H, W)), f)
+    Q = jnp.asarray(rng.normal(0, 2, (4, K, H, W)), f)
+    alphas = jnp.asarray(rng.uniform(0.5, 2, (4, H, W)), f)
+    M = jnp.asarray(rng.normal(0, 1, (4, K, H, W)), f)
+    valid = jnp.stack([geometry.valid_mask(H, W, d, dtype=f) for d in range(4)], 0)
+    alphas = alphas * valid
+    gamma = trws.node_gamma(H, W, f)
+    cb = trws.checkerboard(H, W)
+    tol = 1.1
+
+    for color in (0, 1):
+        want, _, want_lb = trws._phase(theta, M, D0, Q, alphas, valid, gamma,
+                                       cb, color, 1, tol, accumulate_lb=True,
+                                       use_pallas=False)
+        Dall = trws._node_beliefs(theta, M)
+        vminD = jnp.min(Dall, axis=0)
+        gD = gamma[None] * (Dall - vminD[None])
+        gDs = jnp.stack([geometry.shift_from_neighbor(gD, d, 0.0)
+                         for d in range(4)], 0)
+        got, vmins = phase_messages_pallas(
+            gD, gDs, M, Q, D0, alphas, (cb == color).astype(f), valid,
+            jnp.float32(tol), 1, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
