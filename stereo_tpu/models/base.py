@@ -242,17 +242,52 @@ def _total_energy(planes, weights, unary, kernel, tol, normalize):
 
 @functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
 def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p):
-    """lax.scan of fusion moves over a [P, 4, H, W] proposal stack."""
+    """lax.scan of fusion moves over a [P, 4, H, W] proposal stack.
 
-    def step(cur, prop):
-        U0 = unary_p(cur)
+    The incumbent's unary and pairwise positions are carried incrementally:
+    after a move they are pointwise merges of the two candidates' values
+    (both models' unaries depend only on the pixel's own plane, and the
+    positions only on one endpoint's plane), so each move evaluates the
+    unary/geometry of the *proposal* only — the reference recomputes both
+    sides per rd call (dispmap_super.m:70-74).
+    """
+
+    def norm(x):
+        if normalize is None:
+            return x
+        return (x - normalize[0]) / normalize[1]
+
+    def problem_of(planes):
+        D0 = norm(geometry.own_disparity(planes))
+        Q = jnp.stack(
+            [norm(geometry.neighbor_plane_disparity(planes, d, fill=0.0))
+             for d in range(geometry.NUM_DIRS)], axis=0,
+        )
+        return D0, Q
+
+    def step(carry, prop):
+        cur, U0, D0c, Qc = carry
         U1 = unary_p(prop)
-        D0, Q = binary.fusion_problem(cur, prop, normalize)
+        D0p, Qp = problem_of(prop)
+        D0 = jnp.stack([D0c, D0p], axis=0)  # [2, H, W]
+        Q = jnp.stack([Qc, Qp], axis=1)  # [4, 2, H, W]
         res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol)
-        fused = energy.fuse_labelling(cur, prop, res.take)
-        return fused, (res.energy, res.lower_bound)
+        take = res.take
+        cur = energy.fuse_labelling(cur, prop, take)
+        U0n = jnp.where(take, U1, U0)
+        D0n = jnp.where(take, D0p, D0c)
+        Qn = jnp.stack(
+            [jnp.where(geometry.shift_from_neighbor(take, d, fill=False),
+                       Qp[d], Qc[d])
+             for d in range(geometry.NUM_DIRS)], axis=0,
+        )
+        return (cur, U0n, D0n, Qn), (res.energy, res.lower_bound)
 
-    fused, (es, lbs) = jax.lax.scan(step, current, prop_stack)
+    U0 = unary_p(current)
+    D0c, Qc = problem_of(current)
+    (fused, _, _, _), (es, lbs) = jax.lax.scan(
+        step, (current, U0, D0c, Qc), prop_stack
+    )
     return fused, es, lbs
 
 
