@@ -54,3 +54,41 @@ class CVPR08Options:
 
 def cvpr08_options(**overrides) -> CVPR08Options:
     return dataclasses.replace(CVPR08Options(), **overrides)
+
+
+@dataclass(frozen=True)
+class CVPR07Options:
+    """'cvpr07'/'edgemodes' rendering defaults (ojw_default_options.m:38-43);
+    parameterizes the new-view-synthesis path (roadmapped)."""
+
+    thresh: float = 50.0 / (3 ** 0.5)
+    lam: float = 1.0
+    connect: int = 8
+
+
+@dataclass(frozen=True)
+class BMVC07Options:
+    """'bmvc07'/'occlrender' rendering defaults (ojw_default_options.m:44-57)."""
+
+    col_thresh: float = 12.5
+    disp_thresh: float = 1.9
+    lam: float = 0.24
+    tex_weight: float = 6.0
+    tex_thresh: float = (5000.0 ** 0.5) / 2
+    num_loops: int = 2
+    smoothness_kernel: int = 1
+    connect: int = 4
+    contract: int = 0
+    improve: int = 0
+    visibility: bool = True
+
+
+def default_options(algorithm: str):
+    """The ojw_default_options dispatch (ojw_default_options.m:36-83)."""
+    if algorithm in ("cvpr08", "stereo"):
+        return CVPR08Options()
+    if algorithm in ("cvpr07", "edgemodes"):
+        return CVPR07Options()
+    if algorithm in ("bmvc07", "occlrender"):
+        return BMVC07Options()
+    raise ValueError("Algorithm not recognised")

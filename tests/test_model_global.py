@@ -106,3 +106,41 @@ def test_bad_p_matrix_rejected():
     P[0, 0, 0] = 2.0
     with pytest.raises(ValueError, match="reference"):
         DispMapGlobalStereo(images, P, (0, 6), 1, CVPR08Options())
+
+
+def test_kernel2_end_to_end():
+    """Truncated-quadratic path: weights /= tol, tol squared
+    (dispmap_globalstereo.m:410-413), fusion monotone, energy matches the
+    edge-list oracle."""
+    import oracles
+
+    images, P = make_pair()
+    dm = DispMapGlobalStereo(images, P, (0, 6), 1,
+                             CVPR08Options(smoothness_kernel=2), seed=1)
+    assert dm.tol == pytest.approx(CVPR08Options().disp_thresh ** 2)
+    # oracle cross-check of the stored energy
+    w_flat = oracles.dense_weights_to_flat(np.asarray(dm.smooth_weights))
+    unary = np.asarray(dm.unary_map(dm.assignment))
+    want = oracles.total_energy(
+        unary.flatten(order="F"),
+        oracles.planes_to_flat(np.asarray(dm.assignment)),
+        *dm.sz, w_flat, 2, dm.tol, normalize=dm.normalize,
+    )
+    assert dm.energy() == pytest.approx(want, rel=1e-4)
+
+    e0 = dm.energy()
+    H, W = dm.sz
+    for d in [0.0, 3.0, 6.0]:
+        e, lb = dm.binary_fusion(geometry.fronto_parallel(H, W, d, dm.dtype))
+        assert e <= e0 + 1e-6
+        e0 = e
+
+
+def test_default_options_dispatch():
+    from stereo_tpu.config import default_options, CVPR08Options
+
+    assert isinstance(default_options("cvpr08"), CVPR08Options)
+    assert default_options("cvpr07").connect == 8
+    assert default_options("bmvc07").num_loops == 2
+    with pytest.raises(ValueError, match="not recognised"):
+        default_options("nope")
