@@ -12,3 +12,20 @@ device meshes with halo exchange.
 __version__ = "0.1.0"
 
 from stereo_tpu import config, energy, geometry  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax-heavy modules at package import)
+    if name in ("DispMap", "DispMapNCC", "DispMapGlobalStereo"):
+        from stereo_tpu import models
+
+        return getattr(models, name)
+    if name == "SecondOrderStereo":
+        from stereo_tpu.models.second_order import SecondOrderStereo
+
+        return SecondOrderStereo
+    if name == "solvers":
+        from stereo_tpu import solvers
+
+        return solvers
+    raise AttributeError(name)
