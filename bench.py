@@ -64,8 +64,6 @@ def run_bench(n_moves=24, warmup=2):
 
     cur = dm.assignment
     prop = proposals[warmup]
-    U0 = np.asarray(dm.unary_map(cur), np.float64).flatten(order="F")
-    U1 = np.asarray(dm.unary_map(prop), np.float64).flatten(order="F")
     tables = np.asarray(
         energy_mod.binary_fusion_pairwise_tables(cur, prop, 1, dm.tol),
         np.float64,
@@ -85,7 +83,7 @@ def run_bench(n_moves=24, warmup=2):
     tails = np.concatenate(tails)
     heads = np.concatenate(heads)
     E00, E01, E10, E11 = [np.concatenate(e) for e in E]
-    # column-major unaries must match row-major node ids
+    # row-major unaries to match the row-major node ids above
     U0 = np.asarray(dm.unary_map(cur), np.float64).ravel()
     U1 = np.asarray(dm.unary_map(prop), np.float64).ravel()
 

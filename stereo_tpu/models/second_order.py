@@ -124,7 +124,10 @@ class SecondOrderStereo:
         w_h = np.asarray(self.w_h, np.float64)
         w_v = np.asarray(self.w_v, np.float64)
 
+        e_cur_smooth = 0.0  # host f64 triple energy of the current labeling
+
         def add_triples(ids_a, ids_b, ids_c, w_center):
+            nonlocal e_cur_smooth
             vals = np.stack([
                 np.stack([cur_n.ravel()[ids_a], prop_n.ravel()[ids_a]]),
                 np.stack([cur_n.ravel()[ids_b], prop_n.ravel()[ids_b]]),
@@ -137,6 +140,7 @@ class SecondOrderStereo:
                     for xc in range(2):
                         d2 = np.abs(vals[0, xa] - 2 * vals[1, xb] + vals[2, xc])
                         table[xa, xb, xc] = np.minimum(d2, self.tau) * w_center
+            e_cur_smooth += float(table[0, 0, 0].sum())
             for t in range(T):
                 triples.append((int(ids_a[t]), int(ids_b[t]), int(ids_c[t]),
                                 table[:, :, :, t]))
@@ -149,12 +153,16 @@ class SecondOrderStereo:
         labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
             U0, U1, [], [], [], [], [], [], triples,
         )
-        e_cur = self.energy()
+        # Never-increase guard evaluated in ONE arithmetic: the solver's own
+        # host-f64 energy of the all-zeros (keep-current) labeling, not the
+        # device-f32 _scalar_energy (cross-precision disagreement could
+        # otherwise accept marginally-worsening moves).
+        e_cur = float(U0.sum()) + e_cur_smooth
         if e <= e_cur:
             take = (labels == 1).reshape(H, W)
             self.disp = jnp.asarray(np.where(take, prop, cur), jnp.float32)
             return self.energy()
-        return e_cur
+        return self.energy()
 
     def restart(self):
         self.disp = jnp.asarray(self._start, jnp.float32)

@@ -1,47 +1,66 @@
 """Native (C++) runtime components, built on demand and bound via ctypes.
 
-The build mirrors the reference's timestamp-JIT compile.m (compare mtimes of
-the shared object vs its sources, rebuild when stale) with g++ instead of mex.
+The build mirrors the reference's JIT compile.m (rebuild when stale) with g++
+instead of mex.  Staleness is decided by a content hash of the sources plus
+the compile command (not mtimes), so a fresh clone — where every mtime equals
+checkout time — always triggers a local build and never loads a foreign-host
+binary.  The .so itself is gitignored.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["segment.cpp", "qpbo.cpp", "trws.cpp"]
+_SOURCES = ["segment.cpp", "qpbo.cpp", "trws.cpp", "interp.cpp"]
 _LIB_NAME = "libstereo_native.so"
+_HASH_NAME = ".libstereo_native.hash"
+# Portable optimization baseline: no -march=native so the binary cannot carry
+# host-specific ISA extensions between machines.
+_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17"]
 _lock = threading.Lock()
 _lib = None
 
 
-def _needs_build(lib_path: str, sources: list[str]) -> bool:
+def _content_hash(sources: list[str]) -> str:
+    h = hashlib.sha256()
+    h.update(" ".join(_FLAGS).encode())
+    for s in sources:
+        h.update(s.encode())
+        with open(os.path.join(_DIR, s), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _needs_build(lib_path: str, digest: str) -> bool:
     if not os.path.exists(lib_path):
         return True
-    lib_mtime = os.path.getmtime(lib_path)
-    return any(
-        os.path.getmtime(os.path.join(_DIR, s)) > lib_mtime
-        for s in sources
-        if os.path.exists(os.path.join(_DIR, s))
-    )
+    hash_path = os.path.join(_DIR, _HASH_NAME)
+    if not os.path.exists(hash_path):
+        return True
+    with open(hash_path) as f:
+        return f.read().strip() != digest
 
 
 def build(verbose: bool = False) -> str:
     """Compile the native library if stale; returns the .so path."""
     lib_path = os.path.join(_DIR, _LIB_NAME)
     sources = [s for s in _SOURCES if os.path.exists(os.path.join(_DIR, s))]
-    if _needs_build(lib_path, sources):
+    digest = _content_hash(sources)
+    if _needs_build(lib_path, digest):
         cmd = (
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", lib_path]
+            ["g++", *_FLAGS, "-o", lib_path]
             + [os.path.join(_DIR, s) for s in sources]
         )
         if verbose:
             print("[stereo_tpu.native]", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=not verbose)
+        with open(os.path.join(_DIR, _HASH_NAME), "w") as f:
+            f.write(digest)
     return lib_path
 
 

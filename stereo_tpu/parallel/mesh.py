@@ -92,8 +92,13 @@ def sharded_solve(
     alphas = put(alphas, specs["alphas"])
 
     def single(u, d0, q, al):
+        # use_pallas=False: the fused phase kernel is a pallas_call with no
+        # SPMD partitioning rule, so under a >1-device mesh XLA would either
+        # error or silently replicate the sharded operands.  The pure-XLA path
+        # partitions cleanly (shifts -> CollectivePermute halo exchange).
         return trws.solve(u, d0, q, al, kernel=kernel, tol=tol,
-                          maxiter=maxiter, max_relgap=max_relgap)
+                          maxiter=maxiter, max_relgap=max_relgap,
+                          use_pallas=False)
 
     fn = jax.vmap(single) if batched else single
     out_specs = trws.TRWSResult(

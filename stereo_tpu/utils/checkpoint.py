@@ -39,6 +39,7 @@ class Checkpointer:
         self.keep = keep
         os.makedirs(directory, exist_ok=True)
         self._queue: queue.Queue | None = None
+        self._error: BaseException | None = None
         if async_save:
             self._queue = queue.Queue()
             self._worker = threading.Thread(target=self._drain, daemon=True)
@@ -46,6 +47,7 @@ class Checkpointer:
 
     # ------------------------------------------------------------------ save
     def save(self, step: int, state) -> None:
+        self._raise_pending()
         flat = _flatten(state)  # materialize on the caller's thread
         if self._queue is not None:
             self._queue.put((step, flat))
@@ -56,12 +58,24 @@ class Checkpointer:
         """Block until all queued saves are on disk."""
         if self._queue is not None:
             self._queue.join()
+        self._raise_pending()
+
+    def _raise_pending(self):
+        """Surface an async write failure on the caller's thread."""
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def _drain(self):
+        # A failed write must not kill the worker: record the error (surfaced
+        # on the next save()/wait()) and keep draining so later saves and
+        # wait()'s queue.join() still make progress.
         while True:
             step, flat = self._queue.get()
             try:
                 self._write(step, flat)
+            except BaseException as e:  # noqa: BLE001
+                self._error = e
             finally:
                 self._queue.task_done()
 
