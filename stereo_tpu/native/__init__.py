@@ -52,13 +52,17 @@ def build(verbose: bool = False) -> str:
     sources = [s for s in _SOURCES if os.path.exists(os.path.join(_DIR, s))]
     digest = _content_hash(sources)
     if _needs_build(lib_path, digest):
+        # build to a temp path + atomic rename so a concurrent process can
+        # never dlopen a half-written .so
+        tmp_path = lib_path + f".tmp.{os.getpid()}"
         cmd = (
-            ["g++", *_FLAGS, "-o", lib_path]
+            ["g++", *_FLAGS, "-o", tmp_path]
             + [os.path.join(_DIR, s) for s in sources]
         )
         if verbose:
             print("[stereo_tpu.native]", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=not verbose)
+        os.replace(tmp_path, lib_path)
         with open(os.path.join(_DIR, _HASH_NAME), "w") as f:
             f.write(digest)
     return lib_path

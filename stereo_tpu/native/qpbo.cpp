@@ -1,15 +1,25 @@
 // QPBO (roof duality) solver — the rd_mex/QPBO-v1.3 equivalent, written from
 // the published construction (Boros & Hammer's roof duality; Kolmogorov &
 // Rother, "Minimizing Nonsubmodular Functions with Graph Cuts — A Review",
-// PAMI 2007).  Not a port: Dinic's algorithm on a flat arc array instead of
-// BK-style tree reuse, and a from-scratch symmetric doubled-graph builder.
+// PAMI 2007).  Not a port: flat arc arrays + deque work lists instead of the
+// reference's pointer-linked node/arc structs and pooled allocators, and a
+// from-scratch symmetric doubled-graph builder.
+//
+// Maxflow engine: the Boykov–Kolmogorov augmenting-path algorithm ("An
+// Experimental Comparison of Min-Cut/Max-Flow Algorithms for Energy
+// Minimization in Vision", PAMI 2004) — two search trees grown from the
+// terminals with orphan adoption and timestamp/distance reuse.  This is the
+// algorithm family the reference uses (QPBO_maxflow.cpp), implemented fresh:
+// terminal capacities live in a signed per-node excess array (no explicit
+// s/t nodes), arcs are paired ids (rev = id ^ 1), and the grow/augment/adopt
+// phases are explicit loops over those ids.
 //
 // Construction.  Variables x_i in {0,1}; the network has nodes u_i ("x_i")
-// and v_i ("~x_i") plus source/sink.  Convention: a node on the SINK side of
-// the cut means its literal is 1.  Every energy term contributes half its
-// weight to the u-side and half, mirrored, to the v-side, which keeps the
-// network symmetric under (u_i <-> v_i, arc reversal) — the property roof
-// duality needs.
+// and v_i ("~x_i").  Convention: a node on the SINK side of the cut means
+// its literal is 1.  Every energy term contributes half its weight to the
+// u-side and half, mirrored, to the v-side, which keeps the network
+// symmetric under (u_i <-> v_i, arc reversal) — the property roof duality
+// needs.
 //   unary  w*x_i   (w>=0):  s->u_i w/2,  v_i->t w/2
 //          w*x_i   (w<0):   u_i->t -w/2, s->v_i -w/2, const += w
 //   pairwise (a,b,c,d) = th(00),th(01),th(10),th(11):
@@ -29,87 +39,273 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <queue>
+#include <deque>
 #include <vector>
 
 namespace {
 
-struct MaxFlow {
+constexpr double EPS = 1e-12;
+
+struct BKMaxflow {
   struct Arc {
     int32_t to;
-    int32_t rev;
     double cap;
   };
   int n;
-  std::vector<std::vector<Arc>> g;
-  std::vector<int32_t> level, iter;
+  // arc ids come in pairs: rev(a) == a ^ 1
+  std::vector<Arc> arcs;
+  std::vector<int32_t> next_arc;   // per arc: next arc out of the same node
+  std::vector<int32_t> first_arc;  // per node: head of its arc list (-1)
+  std::vector<double> tcap;        // signed terminal excess: >0 s->v, <0 v->t
 
-  explicit MaxFlow(int n_) : n(n_), g(n_), level(n_), iter(n_) {}
+  // search-tree state
+  enum : uint8_t { FREE = 0, SRC = 1, SNK = 2 };
+  enum : int32_t { NONE = -2, TERMINAL = -1 };
+  std::vector<uint8_t> tree;
+  std::vector<int32_t> parent;  // arc id FROM v TO its parent, or sentinel
+  std::vector<int32_t> ts;      // timestamp of dist validity
+  std::vector<int32_t> dist;    // distance to the tree's terminal
+  std::deque<int32_t> active;
+  std::deque<int32_t> orphans;
+  int32_t time_now = 0;
+  double flow = 0.0;
+
+  explicit BKMaxflow(int n_)
+      : n(n_), first_arc(n_, -1), tcap(n_, 0.0), tree(n_, FREE),
+        parent(n_, NONE), ts(n_, 0), dist(n_, 0) {}
 
   void add_arc(int from, int to, double cap, double rcap = 0.0) {
     if (cap <= 0 && rcap <= 0) return;
-    Arc a{to, (int32_t)g[to].size(), cap};
-    Arc b{from, (int32_t)g[from].size(), rcap};
-    g[from].push_back(a);
-    g[to].push_back(b);
+    int32_t a = (int32_t)arcs.size();
+    arcs.push_back({(int32_t)to, cap});
+    arcs.push_back({(int32_t)from, rcap});
+    next_arc.push_back(first_arc[from]);
+    next_arc.push_back(first_arc[to]);
+    first_arc[from] = a;
+    first_arc[to] = a + 1;
   }
 
-  bool bfs(int s, int t) {
-    std::fill(level.begin(), level.end(), -1);
-    std::queue<int> q;
-    level[s] = 0;
-    q.push(s);
-    while (!q.empty()) {
-      int v = q.front();
-      q.pop();
-      for (const Arc& a : g[v]) {
-        if (a.cap > 1e-12 && level[a.to] < 0) {
-          level[a.to] = level[v] + 1;
-          q.push(a.to);
+  void add_tweights(int v, double cap_s, double cap_t) {
+    double f = std::min(cap_s, cap_t);
+    if (f > 0) flow += f;
+    tcap[v] += cap_s - cap_t;
+  }
+
+  // residual capacity of the arc connecting v to its parent, in the
+  // direction flow would take through v's tree
+  double parent_res(int v) const {
+    int32_t pa = parent[v];
+    // SRC tree: flow runs parent -> v, i.e. along rev(pa)
+    // SNK tree: flow runs v -> parent, i.e. along pa
+    return tree[v] == SRC ? arcs[pa ^ 1].cap : arcs[pa].cap;
+  }
+
+  // Walk v to its root; true iff the root hangs off a terminal.  Refreshes
+  // dist/ts along the way (the BK origin-check heuristic).
+  bool has_valid_origin(int v) {
+    int32_t d = 0;
+    int u = v;
+    while (true) {
+      if (ts[u] == time_now) {
+        d += dist[u];
+        break;
+      }
+      int32_t pa = parent[u];
+      if (pa == TERMINAL) {
+        d += 1;
+        break;
+      }
+      if (pa == NONE) return false;
+      u = arcs[pa].to;
+      d += 1;
+    }
+    // second pass: stamp distances
+    int32_t rem = d;
+    u = v;
+    while (ts[u] != time_now) {
+      ts[u] = time_now;
+      dist[u] = rem--;
+      int32_t pa = parent[u];
+      if (pa == TERMINAL) break;
+      u = arcs[pa].to;
+    }
+    return true;
+  }
+
+  void augment(int32_t join_arc) {
+    // join_arc runs from an SRC-tree node p to a SNK-tree node q
+    int p = arcs[join_arc ^ 1].to;
+    int q = arcs[join_arc].to;
+    double bottleneck = arcs[join_arc].cap;
+    for (int v = p; parent[v] != TERMINAL; v = arcs[parent[v]].to)
+      bottleneck = std::min(bottleneck, arcs[parent[v] ^ 1].cap);
+    {
+      int root = p;
+      while (parent[root] != TERMINAL) root = arcs[parent[root]].to;
+      bottleneck = std::min(bottleneck, tcap[root]);
+    }
+    for (int v = q; parent[v] != TERMINAL; v = arcs[parent[v]].to)
+      bottleneck = std::min(bottleneck, arcs[parent[v]].cap);
+    {
+      int root = q;
+      while (parent[root] != TERMINAL) root = arcs[parent[root]].to;
+      bottleneck = std::min(bottleneck, -tcap[root]);
+    }
+
+    arcs[join_arc].cap -= bottleneck;
+    arcs[join_arc ^ 1].cap += bottleneck;
+    // source side: saturating the parent->v arc orphans v
+    for (int v = p;;) {
+      int32_t pa = parent[v];
+      if (pa == TERMINAL) {
+        tcap[v] -= bottleneck;
+        if (tcap[v] <= EPS) {
+          parent[v] = NONE;
+          orphans.push_back(v);
+        }
+        break;
+      }
+      arcs[pa ^ 1].cap -= bottleneck;
+      arcs[pa].cap += bottleneck;
+      int u = arcs[pa].to;
+      if (arcs[pa ^ 1].cap <= EPS) {
+        parent[v] = NONE;
+        orphans.push_back(v);
+      }
+      v = u;
+    }
+    // sink side
+    for (int v = q;;) {
+      int32_t pa = parent[v];
+      if (pa == TERMINAL) {
+        tcap[v] += bottleneck;
+        if (-tcap[v] <= EPS) {
+          parent[v] = NONE;
+          orphans.push_back(v);
+        }
+        break;
+      }
+      arcs[pa].cap -= bottleneck;
+      arcs[pa ^ 1].cap += bottleneck;
+      int u = arcs[pa].to;
+      if (arcs[pa].cap <= EPS) {
+        parent[v] = NONE;
+        orphans.push_back(v);
+      }
+      v = u;
+    }
+    flow += bottleneck;
+  }
+
+  void adopt() {
+    while (!orphans.empty()) {
+      int v = orphans.front();
+      orphans.pop_front();
+      uint8_t tr = tree[v];
+      // find a new parent: same tree, residual arc toward v's terminal
+      // direction, valid origin; prefer the closest (smallest dist)
+      int32_t best = NONE;
+      int32_t best_d = INT32_MAX;
+      for (int32_t a = first_arc[v]; a >= 0; a = next_arc[a]) {
+        int u = arcs[a].to;
+        if (tree[u] != tr) continue;
+        double res = tr == SRC ? arcs[a ^ 1].cap : arcs[a].cap;
+        if (res <= EPS) continue;
+        if (!has_valid_origin(u)) continue;
+        if (dist[u] < best_d) {
+          best_d = dist[u];
+          best = a;
         }
       }
+      if (best != NONE) {
+        parent[v] = best;
+        ts[v] = time_now;
+        dist[v] = best_d + 1;
+        continue;
+      }
+      // no parent: v leaves the tree; children become orphans, neighbors
+      // that could re-adopt or re-grow become active
+      for (int32_t a = first_arc[v]; a >= 0; a = next_arc[a]) {
+        int u = arcs[a].to;
+        if (tree[u] != tr) continue;
+        if (parent[u] >= 0 && arcs[parent[u]].to == v) {
+          parent[u] = NONE;
+          orphans.push_back(u);
+        }
+        double res = tr == SRC ? arcs[a ^ 1].cap : arcs[a].cap;
+        if (res > EPS) active.push_back(u);
+      }
+      tree[v] = FREE;
+      parent[v] = NONE;
     }
-    return level[t] >= 0;
   }
 
-  double dfs(int v, int t, double f) {
-    if (v == t) return f;
-    for (int32_t& i = iter[v]; i < (int32_t)g[v].size(); i++) {
-      Arc& a = g[v][i];
-      if (a.cap > 1e-12 && level[v] < level[a.to]) {
-        double d = dfs(a.to, t, std::min(f, a.cap));
-        if (d > 0) {
-          a.cap -= d;
-          g[a.to][a.rev].cap += d;
-          return d;
-        }
+  double run() {
+    for (int v = 0; v < n; v++) {
+      if (tcap[v] > EPS) {
+        tree[v] = SRC;
+        parent[v] = TERMINAL;
+        active.push_back(v);
+      } else if (tcap[v] < -EPS) {
+        tree[v] = SNK;
+        parent[v] = TERMINAL;
+        active.push_back(v);
       }
     }
-    return 0.0;
-  }
-
-  double run(int s, int t) {
-    double flow = 0.0;
-    while (bfs(s, t)) {
-      std::fill(iter.begin(), iter.end(), 0);
-      double f;
-      while ((f = dfs(s, t, 1e300)) > 0) flow += f;
+    time_now = 1;
+    while (!active.empty()) {
+      int p = active.front();
+      active.pop_front();
+      if (tree[p] == FREE) continue;
+      uint8_t tr = tree[p];
+      bool reactivate = false;
+      for (int32_t a = first_arc[p]; a >= 0; a = next_arc[a]) {
+        double res = tr == SRC ? arcs[a].cap : arcs[a ^ 1].cap;
+        if (res <= EPS) continue;
+        int q = arcs[a].to;
+        if (tree[q] == FREE) {
+          tree[q] = tr;
+          parent[q] = a ^ 1;  // arc from q back to p
+          ts[q] = ts[p];
+          dist[q] = dist[p] + 1;
+          active.push_back(q);
+        } else if (tree[q] != tr) {
+          // augmenting path found through a (SRC->SNK direction)
+          int32_t join = tr == SRC ? a : (a ^ 1);
+          augment(join);
+          time_now++;
+          adopt();
+          if (tree[p] != tr) break;  // p fell out of its tree
+          reactivate = true;         // rescan p's arcs next round
+          break;
+        } else if (ts[q] <= ts[p] && dist[q] > dist[p] + 1) {
+          // heuristic: steal q onto a shorter path
+          parent[q] = a ^ 1;
+          ts[q] = ts[p];
+          dist[q] = dist[p] + 1;
+        }
+      }
+      if (reactivate) active.push_back(p);
     }
     return flow;
   }
 
-  // nodes reachable from s through residual arcs
-  void reachable(int s, std::vector<uint8_t>& mark) const {
+  // nodes reachable from the source through residual arcs
+  void source_reachable(std::vector<uint8_t>& mark) const {
     mark.assign(n, 0);
-    std::vector<int> stack{s};
-    mark[s] = 1;
+    std::vector<int> stack;
+    for (int v = 0; v < n; v++)
+      if (tcap[v] > EPS) {
+        mark[v] = 1;
+        stack.push_back(v);
+      }
     while (!stack.empty()) {
       int v = stack.back();
       stack.pop_back();
-      for (const Arc& a : g[v]) {
-        if (a.cap > 1e-12 && !mark[a.to]) {
-          mark[a.to] = 1;
-          stack.push_back(a.to);
+      for (int32_t a = first_arc[v]; a >= 0; a = next_arc[a]) {
+        if (arcs[a].cap > EPS && !mark[arcs[a].to]) {
+          mark[arcs[a].to] = 1;
+          stack.push_back(arcs[a].to);
         }
       }
     }
@@ -121,13 +317,13 @@ struct MaxFlow {
 // once all its successors are numbered, so every residual arc goes from a
 // higher or equal comp id to a lower or equal one).
 struct SCC {
-  const MaxFlow& mf;
+  const BKMaxflow& mf;
   const std::vector<uint8_t>& active;
   std::vector<int32_t> comp, low, num, stack_;
   std::vector<uint8_t> on_stack;
   int32_t counter = 0, ncomp = 0;
 
-  SCC(const MaxFlow& m, const std::vector<uint8_t>& act)
+  SCC(const BKMaxflow& m, const std::vector<uint8_t>& act)
       : mf(m), active(act), comp(m.n, -1), low(m.n, 0), num(m.n, -1),
         on_stack(m.n, 0) {}
 
@@ -137,23 +333,26 @@ struct SCC {
   }
 
   void iterate(int root) {
-    // explicit stack of (node, arc index)
+    // explicit stack of (node, arc id)
     std::vector<std::pair<int32_t, int32_t>> call;
-    call.push_back({root, 0});
+    call.push_back({root, mf.first_arc[root]});
     num[root] = low[root] = counter++;
     stack_.push_back(root);
     on_stack[root] = 1;
     while (!call.empty()) {
       auto& [v, ai] = call.back();
-      if (ai < (int32_t)mf.g[v].size()) {
-        const MaxFlow::Arc& a = mf.g[v][ai++];
+      if (ai >= 0) {
+        const BKMaxflow::Arc& a = mf.arcs[ai];
+        int32_t cur = ai;
+        ai = mf.next_arc[ai];
         int w = a.to;
-        if (a.cap <= 1e-12 || !active[w]) continue;
+        (void)cur;
+        if (a.cap <= EPS || !active[w]) continue;
         if (num[w] < 0) {
           num[w] = low[w] = counter++;
           stack_.push_back(w);
           on_stack[w] = 1;
-          call.push_back({w, 0});
+          call.push_back({w, mf.first_arc[w]});
         } else if (on_stack[w]) {
           low[v] = std::min(low[v], num[w]);
         }
@@ -170,8 +369,10 @@ struct SCC {
         }
         int32_t lv = low[v];
         call.pop_back();
-        if (!call.empty())
-          low[call.back().first] = std::min(low[call.back().first], lv);
+        if (!call.empty()) {
+          int pv = call.back().first;
+          low[pv] = std::min(low[pv], lv);
+        }
       }
     }
   }
@@ -195,12 +396,12 @@ int qpbo_solve(int n_nodes, int n_edges,
                int32_t* labels_out, double* energy_out, double* lb_out,
                int32_t* n_unlabelled_out) {
   const bool use_weak = (improve & 2) == 0;
-  const int S = 2 * n_nodes;      // source
-  const int T = 2 * n_nodes + 1;  // sink
   auto U = [&](int i) { return 2 * i; };
   auto V = [&](int i) { return 2 * i + 1; };
 
-  MaxFlow mf(2 * n_nodes + 2);
+  BKMaxflow mf(2 * n_nodes);
+  mf.arcs.reserve(4 * (size_t)n_edges);
+  mf.next_arc.reserve(4 * (size_t)n_edges);
   double constant = 0.0;
   std::vector<double> lin(n_nodes, 0.0);  // coefficient of x_i
 
@@ -241,21 +442,21 @@ int qpbo_solve(int n_nodes, int n_edges,
     double w = lin[i];
     if (w >= 0) {
       if (w > 0) {
-        mf.add_arc(S, U(i), w / 2);
-        mf.add_arc(V(i), T, w / 2);
+        mf.add_tweights(U(i), w / 2, 0.0);
+        mf.add_tweights(V(i), 0.0, w / 2);
       }
     } else {
       constant += w;
-      mf.add_arc(U(i), T, -w / 2);
-      mf.add_arc(S, V(i), -w / 2);
+      mf.add_tweights(U(i), 0.0, -w / 2);
+      mf.add_tweights(V(i), -w / 2, 0.0);
     }
   }
 
-  double flow = mf.run(S, T);
+  double flow = mf.run();
   *lb_out = constant + flow;
 
   std::vector<uint8_t> src_side;
-  mf.reachable(S, src_side);
+  mf.source_reachable(src_side);
 
   int n_unlab = 0;
   for (int i = 0; i < n_nodes; i++) {
@@ -280,11 +481,9 @@ int qpbo_solve(int n_nodes, int n_edges,
   // non-increasing).  Variables whose literals share a component stay
   // unlabeled.
   if (use_weak && n_unlab > 0) {
-    // all inner (literal) nodes participate — labeled nodes transit
-    // implications; only unlabeled variables receive new labels
+    // all literal nodes participate — labeled nodes transit implications;
+    // only unlabeled variables receive new labels
     std::vector<uint8_t> active(mf.n, 1);
-    active[S] = 0;
-    active[T] = 0;
     SCC scc(mf, active);
     scc.run();
     n_unlab = 0;
