@@ -33,7 +33,8 @@ class DispMap:
 
     def __init__(self, images, kernel: int, *, maxiter: int = 1000,
                  max_relgap: float = 1e-4, improve: bool = False,
-                 check_every: int = 8, schedule: str = "checkerboard"):
+                 check_every: int = 8, schedule: str = "checkerboard",
+                 fusion_backend: str = "device"):
         self.images = [jnp.asarray(im) for im in images]
         H, W = self.images[0].shape[:2]
         self.sz = (H, W)
@@ -49,6 +50,13 @@ class DispMap:
         # TRW-S sweep schedule: 'checkerboard' (max parallel) or 'scanline'
         # (row-sequential chains; far fewer sweeps to tight relative gaps)
         self.schedule = schedule
+        # binary-fusion solver: 'device' (K=2 TRW-S + per-component
+        # acceptance) or 'host' (exact QPBO roof duality through the native
+        # lib — the bit-faithful rd_mex path, honoring ``improve``)
+        if fusion_backend not in ("device", "host"):
+            raise ValueError(f"unknown fusion backend {fusion_backend!r}")
+        self.fusion_backend = fusion_backend
+        self._edge_cache = None
         self.dtype = self.images[0].dtype
         self.smooth_weights = energy.default_weights(H, W, dtype=self.dtype)
         self._assignment = None
@@ -92,6 +100,8 @@ class DispMap:
         proposal = jnp.asarray(proposal, self.dtype)
         if proposal.shape != self._assignment.shape:
             raise ValueError("Binary fusion: proposal is of wrong size")
+        if self.fusion_backend == "host":
+            return self._binary_fusion_host(proposal)
         with self.timings.phase("binary_fusion"):
             fused, e, lb = _binary_fusion_step(
                 self._assignment, proposal,
@@ -102,6 +112,57 @@ class DispMap:
             jax.block_until_ready(e)
         self._assignment = fused
         self._stored_energy = float(e)
+        return self._stored_energy, float(lb)
+
+    def _edge_lists(self):
+        """Directed edge lists (tails, heads, per-direction masks + weights)
+        for the host QPBO path; cached (the weights are move-invariant)."""
+        if self._edge_cache is None:
+            H, W = self.sz
+            w = np.asarray(self.smooth_weights, np.float64)
+            nid = np.arange(H * W).reshape(H, W)
+            tails, heads, wts, sel = [], [], [], []
+            for d, (dy, dx) in enumerate(geometry.DIRS):
+                ys, xs = np.nonzero(w[d] > 0)
+                tails.append(nid[ys + dy, xs + dx])
+                heads.append(nid[ys, xs])
+                wts.append(w[d, ys, xs])
+                sel.append((d, ys, xs))
+            self._edge_cache = (
+                np.concatenate(tails).astype(np.int32),
+                np.concatenate(heads).astype(np.int32),
+                wts, sel,
+            )
+        return self._edge_cache
+
+    def _binary_fusion_host(self, proposal) -> tuple[float, float]:
+        """Exact QPBO fusion on the host — the rd.m/rd_mex path: weak
+        persistency + keep-current on unlabelled, QPBO-I when unlabelled
+        remain and ``improve`` is set (rd_mex.cpp:68-92)."""
+        from stereo_tpu.solvers import qpbo_host
+
+        with self.timings.phase("binary_fusion"):
+            H, W = self.sz
+            cur = self._assignment
+            tables = np.asarray(
+                energy.binary_fusion_pairwise_tables(
+                    cur, proposal, self.smoothness_kernel, self.tol,
+                    self.normalize),
+                np.float64)
+            tails, heads, wts, sel = self._edge_lists()
+            E = [np.concatenate([wts[i] * tables[d, t, ys, xs]
+                                 for i, (d, ys, xs) in enumerate(sel)])
+                 for t in range(4)]
+            U0 = np.asarray(self.unary_map(cur), np.float64).ravel()
+            U1 = np.asarray(self.unary_map(proposal), np.float64).ravel()
+            labels, e, lb, n_unlab = qpbo_host.solve(
+                U0, U1, tails, heads, *E)
+            y = np.where(labels >= 0, labels, 0)
+            if n_unlab > 0 and self.improve:
+                y, e = qpbo_host.improve(labels, U0, U1, tails, heads, *E)
+            take = jnp.asarray((y == 1).reshape(H, W))
+        self._assignment = energy.fuse_labelling(cur, proposal, take)
+        self._update_energy()
         return self._stored_energy, float(lb)
 
     def binary_fusion_sweep(self, proposals, chunk: int = 64) -> list[float]:

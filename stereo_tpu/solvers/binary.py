@@ -8,17 +8,32 @@ imrender/vgg/vgg_qpbo.m:14-17).
 TPU-native design: a fusion move is a 2-label MRF whose pairwise terms are in
 the *same* truncated-distance family as the multi-label problem —
 V(a, b) = w * min(|d_a(tail @ head) - d_b(head @ head)|^k, tol)
-(all_pairwise_costs, dispmap_super.m:236-262) — so the checkerboard TRW-S
-solver doubles as the fusion solver with K = 2.  For binary pairwise MRFs the
-TRW-S dual optimum coincides with the roof-duality (QPBO) bound, so at
-convergence the lower bound matches.  The decoded labeling carries no
-per-node persistency certificate, so we enforce the reference's "never
-increase" invariant directly: accept the move only where it helps —
-if the decoded fusion has higher energy than the incumbent, keep the
-incumbent (the analog of all-nodes-unlabelled).
+(all_pairwise_costs, dispmap_super.m:236-262) — so checkerboard TRW-S doubles
+as the fusion solver with K = 2.  For binary pairwise MRFs the TRW-S dual
+optimum coincides with the roof-duality (QPBO) bound, so at convergence the
+lower bound matches.
+
+K = 2 specialization (vs the generic solvers/trws.py): a normalized 2-vector
+message has one degree of freedom, so each directed-edge buffer is a single
+signed plane ``md`` with (msg0, msg1) = (relu(-md), relu(md)); the 2x2
+pairwise tables are precomputed once per move as 16 [H, W] planes.  Every
+phase is then a short chain of elementwise min/add ops on [H, W] planes that
+XLA fuses into a handful of HBM passes — no K loop, no Pallas needed, and
+half the message bandwidth.  The math is the exact checkerboard TRW-S of
+solvers/trws.py (same ordering, same gammas, same stopping rule).
+
+Move acceptance — the per-pixel persistency analog (rd_mex.cpp:68-92): QPBO
+labels a strict subset of pixels (autarky) and always improves.  Here the
+decoded labeling's "take" mask is split into 4-connected components; because
+distinct components share no edge, the energy delta of flipping each
+component is independent and exactly additive, so we accept exactly the
+components whose delta is <= 0.  This dominates both whole-image
+accept/reject and QPBO's keep-current-on-unlabelled completion quality-wise
+on the decoded labeling, and preserves the never-increase invariant by
+construction.
 
 An exact CPU QPBO oracle (stereo_tpu/native) backs parity tests and offers a
-bit-faithful host path.
+bit-faithful host path (solvers/qpbo_host).
 """
 
 from __future__ import annotations
@@ -29,6 +44,8 @@ import jax
 import jax.numpy as jnp
 
 from stereo_tpu import geometry
+from stereo_tpu.energy import truncated_kernel
+from stereo_tpu.geometry import NUM_DIRS, OPP
 from stereo_tpu.solvers import trws
 
 
@@ -72,6 +89,217 @@ def fusion_problem(
     return D0, Q
 
 
+def _tables(D0, Q, alphas, kernel, tol):
+    """Per-direction 2x2 pairwise tables V[d][i, j] = alpha_d * TR(|Q_i - D0_j|).
+
+    i = tail label, j = head label.  Shape [4, 2, 2, H, W]; zero at invalid
+    border edges because alphas is zero there.
+    """
+    V = []
+    for d in range(NUM_DIRS):
+        rows = []
+        for i in range(2):
+            rows.append(jnp.stack(
+                [alphas[d] * truncated_kernel(Q[d, i] - D0[j], kernel, tol)
+                 for j in range(2)], axis=0))
+        V.append(jnp.stack(rows, axis=0))
+    return jnp.stack(V, axis=0)
+
+
+def _split(md):
+    """Signed message plane -> (msg0, msg1), both >= 0 with min = 0."""
+    zero = jnp.zeros((), md.dtype)
+    return jnp.maximum(-md, zero), jnp.maximum(md, zero)
+
+
+def _beliefs(theta0, theta1, M):
+    """Beliefs (D0b, D1b): theta + all 8 incident buffers (trws._node_beliefs)."""
+    D0b, D1b = theta0, theta1
+    for d in range(NUM_DIRS):
+        m0, m1 = _split(M[d])
+        D0b = D0b + m0
+        D1b = D1b + m1
+        o0, o1 = _split(geometry.shift_from_neighbor(M[OPP[d]], d, fill=0.0))
+        D0b = D0b + o0
+        D1b = D1b + o1
+    return D0b, D1b
+
+
+def _k2_phase(theta0, theta1, M, V, gamma, valid, phase_mask, accumulate_lb):
+    """One checkerboard half-iteration at K=2 (mirrors trws._phase)."""
+    dtype = theta0.dtype
+    acc_t = jnp.promote_types(dtype, jnp.float32)
+    D0b, D1b = _beliefs(theta0, theta1, M)
+
+    lb_nodes = jnp.zeros((), acc_t)
+    if accumulate_lb:
+        vminD = jnp.minimum(D0b, D1b)
+        D0b = D0b - vminD
+        D1b = D1b - vminD
+        lb_nodes = jnp.sum(jnp.where(phase_mask, vminD, 0.0), dtype=acc_t)
+
+    gD0 = gamma * D0b
+    gD1 = gamma * D1b
+
+    newM = []
+    lb_msgs = jnp.zeros((), acc_t)
+    for d in range(NUM_DIRS):
+        m0, m1 = _split(M[d])
+        # variant B (source = head p): msg[i] = min_j(gD_j - m_j + V[i, j])
+        HB0 = gD0 - m0
+        HB1 = gD1 - m1
+        bmsg0 = jnp.minimum(HB0 + V[d, 0, 0], HB1 + V[d, 0, 1])
+        bmsg1 = jnp.minimum(HB0 + V[d, 1, 0], HB1 + V[d, 1, 1])
+        # variant A (source = tail n): msg[j] = min_i(gD'_i - m_i + V[i, j])
+        HA0 = geometry.shift_from_neighbor(gD0, d, fill=0.0) - m0
+        HA1 = geometry.shift_from_neighbor(gD1, d, fill=0.0) - m1
+        amsg0 = jnp.minimum(HA0 + V[d, 0, 0], HA1 + V[d, 1, 0])
+        amsg1 = jnp.minimum(HA0 + V[d, 0, 1], HA1 + V[d, 1, 1])
+
+        msg0 = jnp.where(phase_mask, bmsg0, amsg0)
+        msg1 = jnp.where(phase_mask, bmsg1, amsg1)
+        vmin = jnp.minimum(msg0, msg1)
+        md = (msg1 - msg0) * valid[d]
+        newM.append(md)
+        if accumulate_lb:
+            lb_msgs = lb_msgs + jnp.sum(
+                jnp.where(valid[d] > 0, vmin, 0.0), dtype=acc_t)
+    return jnp.stack(newM, axis=0), lb_nodes + lb_msgs
+
+
+def _k2_decode(theta0, theta1, M, V, cb):
+    """Greedy conditioned decode (mirrors trws._decode at K=2)."""
+    D0b, D1b = _beliefs(theta0, theta1, M)
+    z_black = D1b < D0b
+
+    cost0, cost1 = theta0, theta1
+    for d in range(NUM_DIRS):
+        zn = geometry.shift_from_neighbor(z_black, d, fill=False)
+        # in-edge E(p, d): V(z_n, j)
+        cost0 = cost0 + jnp.where(zn, V[d, 1, 0], V[d, 0, 0])
+        cost1 = cost1 + jnp.where(zn, V[d, 1, 1], V[d, 0, 1])
+        # out-edge E(n, OPP(d)) at neighbor n: V[OPP(d)](i, z_black(n'))
+        t0 = jnp.where(z_black, V[OPP[d], 0, 1], V[OPP[d], 0, 0])
+        t1 = jnp.where(z_black, V[OPP[d], 1, 1], V[OPP[d], 1, 0])
+        cost0 = cost0 + geometry.shift_from_neighbor(t0, d, fill=0.0)
+        cost1 = cost1 + geometry.shift_from_neighbor(t1, d, fill=0.0)
+    z_white = cost1 < cost0
+    return jnp.where(cb == 0, z_black, z_white)
+
+
+def _k2_energy(z, theta0, theta1, V):
+    """Exact energy of a 0/1 labeling under the precomputed tables."""
+    acc_t = jnp.promote_types(theta0.dtype, jnp.float32)
+    E = jnp.sum(jnp.where(z, theta1, theta0), dtype=acc_t)
+    for d in range(NUM_DIRS):
+        zn = geometry.shift_from_neighbor(z, d, fill=False)
+        c = jnp.where(
+            zn,
+            jnp.where(z, V[d, 1, 1], V[d, 1, 0]),
+            jnp.where(z, V[d, 0, 1], V[d, 0, 0]),
+        )
+        E = E + jnp.sum(c, dtype=acc_t)
+    return E
+
+
+def _segmented_min_scan(m, live, axis, reverse):
+    """Running min of ``m`` within contiguous runs of ``live`` along ``axis``.
+
+    Dead (not live) entries break runs.  Associative monoid on (min, wall):
+    combine(a, b) = (b.wall ? b.min : min(a.min, b.min), a.wall | b.wall) —
+    O(log n) steps of pure vector ops, no gathers (TPU gathers serialize).
+    """
+    wall = ~live
+
+    def combine(a, b):
+        am, aw = a
+        bm, bw = b
+        return jnp.where(bw, bm, jnp.minimum(am, bm)), aw | bw
+
+    out, _ = jax.lax.associative_scan(
+        combine, (m, wall), axis=axis, reverse=reverse)
+    return out
+
+
+def connected_components(z: jax.Array) -> jax.Array:
+    """4-connected component ids of a boolean mask.
+
+    Returns [H, W] int32: for z pixels, the smallest flat pixel index in the
+    component; H*W elsewhere.  Each round floods the current min id along
+    entire rows and columns via segmented scans (pure VPU work — gathers and
+    scatters serialize on TPU, so the classic pointer-jumping formulation is
+    avoided); converges in O(#bends of the windiest component) rounds, which
+    is 1-3 for real fusion take-masks.
+    """
+    H, W = z.shape
+    N = H * W
+    idx = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
+    comp0 = jnp.where(z, idx, N)
+
+    def flood(comp):
+        for axis in (1, 0):
+            for reverse in (False, True):
+                s = _segmented_min_scan(comp, z, axis, reverse)
+                comp = jnp.where(z, jnp.minimum(comp, s), N)
+        return comp
+
+    def not_uniform(comp):
+        bad = jnp.zeros((), bool)
+        for d in range(NUM_DIRS):
+            zn = geometry.shift_from_neighbor(z, d, fill=False)
+            cn = geometry.shift_from_neighbor(comp, d, fill=N)
+            bad = bad | jnp.any(z & zn & (comp != cn))
+        return bad
+
+    comp = flood(comp0)
+    comp, _ = jax.lax.while_loop(
+        lambda state: state[1],
+        lambda state: (lambda c: (c, not_uniform(c)))(flood(state[0])),
+        (comp, not_uniform(comp)),
+    )
+    return comp
+
+
+def accept_components(z, theta0, theta1, V):
+    """Filter a decoded take-mask to its energy-improving components.
+
+    Flipping a 4-connected component S of ``z`` changes the energy by a sum
+    of per-pixel unary deltas plus per-edge deltas; distinct components share
+    no edge, so the deltas are independent.  Returns (take, n_components
+    accepted implicitly via the mask).
+    """
+    H, W = z.shape
+    N = H * W
+    comp = connected_components(z)
+    acc_t = jnp.promote_types(theta0.dtype, jnp.float32)
+
+    # Fold every contribution into ONE per-pixel delta map owned by a z
+    # pixel, so a single scatter-add produces the component sums (scatters
+    # serialize per element on TPU — five of them dominated this routine):
+    #   - a z pixel owns its unary delta and all incident edge deltas,
+    #   - an edge whose head keeps but whose tail flips is pushed back to
+    #     the tail pixel (the only flipping endpoint) elementwise.
+    delta = jnp.where(z, theta1 - theta0, 0.0).astype(acc_t)
+    for d in range(NUM_DIRS):
+        zn = geometry.shift_from_neighbor(z, d, fill=False)
+        c = jnp.where(
+            zn,
+            jnp.where(z, V[d, 1, 1], V[d, 1, 0]),
+            jnp.where(z, V[d, 0, 1], V[d, 0, 0]),
+        )
+        dE = (c - V[d, 0, 0]).astype(acc_t)
+        delta = delta + jnp.where(z, dE, 0.0)
+        push = jnp.where(jnp.logical_and(~z, zn), dE, 0.0)
+        # out[p + DIRS[d]] = push[p]: the inverse shift brings the delta to
+        # the tail pixel
+        delta = delta + geometry.shift_from_neighbor(push, OPP[d], fill=0.0)
+
+    sums = jnp.zeros((N + 1,), acc_t).at[comp.reshape(-1)].add(
+        delta.reshape(-1))
+    good = sums <= 0.0
+    return z & good[comp]
+
+
 def binary_fuse(
     unary0: jax.Array,  # [H, W] unary cost of keeping the current label
     unary1: jax.Array,  # [H, W] unary cost of taking the proposal
@@ -88,19 +316,70 @@ def binary_fuse(
 ) -> FusionResult:
     """One fusion move; never increases the energy.
 
-    ``current_energy``: energy of the all-zeros labeling (incumbent).  If not
-    given it is computed from the solver data (exactly consistent with the
-    decode energy, so the guard is sound).
+    ``current_energy`` is accepted for API compatibility; the per-component
+    acceptance makes the move non-increasing unconditionally, so it is only
+    used as a final numerical backstop when provided.
     """
-    theta = jnp.stack([unary0, unary1], axis=0)
-    res = trws.solve(
-        theta, D0, Q, alphas, kernel=kernel, tol=tol, maxiter=maxiter,
-        max_relgap=max_relgap, check_every=check_every,
-    )
-    if current_energy is None:
-        zeros = jnp.zeros(unary0.shape, jnp.int32)
-        current_energy = trws.labeling_energy(zeros, theta, D0, Q, alphas, kernel, tol)
-    improved = res.energy <= current_energy
-    take = jnp.logical_and(res.labels == 1, improved)
-    energy = jnp.where(improved, res.energy, current_energy)
-    return FusionResult(take, energy, res.lower_bound, res.iterations)
+    H, W = unary0.shape
+    dtype = unary0.dtype
+    theta0, theta1 = unary0, unary1
+    V = _tables(D0, Q, alphas, kernel, tol)
+    cb = trws.checkerboard(H, W)
+    gamma = trws.node_gamma(H, W, dtype)
+    valid = jnp.stack(
+        [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(NUM_DIRS)], 0)
+    black = cb == 0
+    white = cb == 1
+
+    M0 = jnp.zeros((NUM_DIRS, H, W), dtype)
+    acc_t = jnp.promote_types(dtype, jnp.float32)
+
+    def sweep(_, carry):
+        M, _ = carry
+        M, _ = _k2_phase(theta0, theta1, M, V, gamma, valid, black,
+                         accumulate_lb=False)
+        M, lb = _k2_phase(theta0, theta1, M, V, gamma, valid, white,
+                          accumulate_lb=True)
+        return M, lb
+
+    def one_check(M):
+        if check_every == 1:
+            M, lb_sweep = sweep(0, (M, jnp.zeros((), acc_t)))
+        else:
+            M, lb_sweep = jax.lax.fori_loop(
+                0, check_every, sweep, (M, jnp.zeros((), acc_t)))
+        # blacks contribute their belief minima (trws.solve one_iteration)
+        D0b, D1b = _beliefs(theta0, theta1, M)
+        lb_black = jnp.sum(
+            jnp.where(black, jnp.minimum(D0b, D1b), 0.0), dtype=acc_t)
+        lb = lb_sweep + lb_black
+        z = _k2_decode(theta0, theta1, M, V, cb)
+        energy = _k2_energy(z, theta0, theta1, V)
+        return M, energy, lb, z
+
+    def cond(state):
+        M, it, energy, lb, z = state
+        relgap = jnp.where(energy != 0, (energy - lb) / energy, 0.0)
+        return jnp.logical_and(
+            it < maxiter, jnp.logical_or(it == 0, relgap >= max_relgap))
+
+    def body(state):
+        M, it, _, _, _ = state
+        M, energy, lb, z = one_check(M)
+        return (M, it + check_every, energy, lb, z)
+
+    zero = jnp.zeros((), acc_t)
+    state0 = (M0, jnp.zeros((), jnp.int32), zero, zero,
+              jnp.zeros((H, W), bool))
+    M, iters, _, lb, z = jax.lax.while_loop(cond, body, state0)
+
+    # per-component acceptance: flip exactly the improving components
+    take = accept_components(z, theta0, theta1, V)
+    energy = _k2_energy(take, theta0, theta1, V)
+    if current_energy is not None:
+        # numerical backstop (f32 component sums could round): never report
+        # or accept a worse-than-incumbent configuration
+        worse = energy > current_energy
+        take = jnp.where(worse, jnp.zeros_like(take), take)
+        energy = jnp.where(worse, current_energy, energy)
+    return FusionResult(take, energy, lb, iters)
