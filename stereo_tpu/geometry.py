@@ -30,6 +30,20 @@ NUM_DIRS = len(DIRS)
 OPP: tuple[int, ...] = (1, 0, 3, 2)
 
 
+
+def take_plane(X: jax.Array, idx: jax.Array) -> jax.Array:
+    """X[idx[s], s] for every site s: X [K, *S], idx [*S] int -> [*S].
+
+    One-hot masked sum instead of jnp.take_along_axis: per-site gathers over
+    a leading (label/level) axis scalarize on TPU (~80 ms per TRW-S decode at
+    baby2 K=15), while K masked plane passes are pure VPU work that XLA fuses
+    (~100x faster).
+    """
+    K = X.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32).reshape((K,) + (1,) * idx.ndim)
+    onehot = idx[None].astype(jnp.int32) == iota
+    return jnp.sum(jnp.where(onehot, X, 0), axis=0)
+
 def grid_points(H: int, W: int, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
     """1-based pixel coordinates ``(xs, ys)``, each of shape [H, W].
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_tpu.ops.filters import box_sum
+from stereo_tpu.geometry import take_plane
 from stereo_tpu.ops.interp import interp2
 
 LARGEVAL = 1e6
@@ -122,9 +123,14 @@ def _parabola_coeffs(ncc, disparities, t2, y2, ok):
     d = jnp.asarray(disparities, ncc.dtype)
     t1 = jnp.where(ok, t2 - 1, t2)
     t3 = jnp.where(ok, t2 + 1, t2)
-    d1, d2, d3 = d[t1], d[t2], d[t3]
-    y1 = jnp.take_along_axis(ncc, t1[None], axis=0)[0]
-    y3 = jnp.take_along_axis(ncc, t3[None], axis=0)[0]
+    # one-hot selections (take_plane): per-pixel gathers scalarize on TPU
+    D = ncc.shape[0]
+    db = jnp.broadcast_to(d[:, None, None], (D,) + t2.shape)
+    d1 = take_plane(db, t1)
+    d2 = take_plane(db, t2)
+    d3 = take_plane(db, t3)
+    y1 = take_plane(ncc, t1)
+    y3 = take_plane(ncc, t3)
 
     safe = lambda den: jnp.where(ok, den, 1.0)
     a = y1 / safe((d1 - d2) * (d1 - d3))
@@ -153,10 +159,16 @@ def nearest_index(disparities, disp: jax.Array) -> jax.Array:
     matching the reference's <=-scan (dispmap_ncc.m:227-236)."""
     d = jnp.asarray(disparities, disp.dtype)
     D = d.shape[0]
-    j = jnp.searchsorted(d, disp, side="left").astype(jnp.int32)
+    db = jnp.broadcast_to(d.reshape((D,) + (1,) * disp.ndim),
+                          (D,) + disp.shape)
+    # rank of disp in the ascending grid (= searchsorted 'left'), computed as
+    # a full comparison sweep: log(D) binary-search gathers scalarize on TPU,
+    # D vectorized compares don't
+    j = jnp.sum((db < disp[None]).astype(jnp.int32), axis=0)
     j = jnp.clip(j, 0, D - 1)
     jm = jnp.clip(j - 1, 0, D - 1)
-    pick_j = jnp.abs(disp - d[j]) <= jnp.abs(disp - d[jm])
+    pick_j = jnp.abs(disp - take_plane(db, j)) <= jnp.abs(
+        disp - take_plane(db, jm))
     return jnp.where(pick_j, j, jm)
 
 
@@ -167,7 +179,7 @@ def sample_at(ncc: jax.Array, disparities, disp: jax.Array) -> jax.Array:
     d = jnp.asarray(disparities, disp.dtype)
     D = ncc.shape[0]
     t2 = nearest_index(d, disp)
-    y2 = jnp.take_along_axis(ncc, t2[None], axis=0)[0]
+    y2 = take_plane(ncc, t2)
     ok = (t2 > 0) & (t2 < D - 1)
     r, p, q, _ = _parabola_coeffs(ncc, d, t2, y2, ok)
     val = r * disp * disp + p * disp + q

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from stereo_tpu import geometry
 from stereo_tpu.energy import truncated_kernel
 from stereo_tpu.solvers.trws import TRWSResult
 
@@ -167,9 +168,8 @@ def solve_scanline(
     D0_p = pad_row(positions)
     Q_p = pad_row(nbr_positions)
     alphas_p = pad_row(alphas)
-    from stereo_tpu import geometry as _g
-
-    valid = jnp.stack([_g.valid_mask(H, W, d, dtype=dtype) for d in range(4)], 0)
+    valid = jnp.stack(
+        [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(4)], 0)
     valid_p = pad_row(valid)
     gamma_p = pad_row(scanline_gamma(H, W, dtype))
     rd = _RowData(theta_p, D0_p, Q_p, alphas_p, valid_p, gamma_p)
@@ -316,9 +316,9 @@ def solve_scanline(
             ap_dn = lax.dynamic_index_in_dim(rd.alphas[DN], r - 1, axis=-2, keepdims=False)
 
             # DiBackward common: up-pair terms conditioned on sol_up
-            Q_up_sel = jnp.take_along_axis(Qm[UP], sol_up[None, :], axis=0)[0]
+            Q_up_sel = geometry.take_plane(Qm[UP], sol_up)
             db = th + am[UP][None, :] * truncated_kernel(Q_up_sel[None, :] - D0m, kernel, tol)
-            D0p_sel = jnp.take_along_axis(D0p, sol_up[None, :], axis=0)[0]
+            D0p_sel = geometry.take_plane(D0p, sol_up)
             db = db + ap_dn[None, :] * truncated_kernel(Qp_dn - D0p_sel[None, :], kernel, tol)
 
             # forward messages into this row's pixels
@@ -338,12 +338,12 @@ def solve_scanline(
             # odd pixels: condition laterals on even solutions
             sol_l = _roll_cols(sol_even, 1)
             sol_r = _roll_cols(sol_even, -1)
-            QL_sel = jnp.take_along_axis(Qm[LT], sol_l[None, :], axis=0)[0]
+            QL_sel = geometry.take_plane(Qm[LT], sol_l)
             db_o = db + am[LT][None, :] * truncated_kernel(QL_sel[None, :] - D0m, kernel, tol)
-            QR_sel = jnp.take_along_axis(Qm[RT], sol_r[None, :], axis=0)[0]
+            QR_sel = geometry.take_plane(Qm[RT], sol_r)
             db_o = db_o + am[RT][None, :] * truncated_kernel(QR_sel[None, :] - D0m, kernel, tol)
             # out-lateral: V(k_p', sol_n) at the even neighbor n
-            D0_sel_e = jnp.take_along_axis(D0m, sol_even[None, :], axis=0)[0]
+            D0_sel_e = geometry.take_plane(D0m, sol_even)
             t_r = am[RT][None, :] * truncated_kernel(Qm[RT] - D0_sel_e[None, :], kernel, tol)
             db_o = db_o + _roll_cols(t_r, 1)  # from n = p'-1: E(n,RT) tail p'
             t_l = am[LT][None, :] * truncated_kernel(Qm[LT] - D0_sel_e[None, :], kernel, tol)
@@ -354,7 +354,7 @@ def solve_scanline(
             sol = jnp.where(even_w, sol_even, sol_odd)
             db_final = jnp.where(even_w[None, :], db, db_o)
             E = E + jnp.sum(
-                jnp.take_along_axis(db_final, sol[None, :], axis=0)[0],
+                geometry.take_plane(db_final, sol),
                 dtype=acc_t,
             )
             return (sol, E), sol

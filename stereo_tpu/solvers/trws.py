@@ -51,7 +51,7 @@ import jax.numpy as jnp
 
 from stereo_tpu import geometry
 from stereo_tpu.energy import truncated_kernel
-from stereo_tpu.geometry import DIRS, NUM_DIRS, OPP
+from stereo_tpu.geometry import DIRS, NUM_DIRS, OPP, take_plane
 
 
 class TRWSResult(NamedTuple):
@@ -185,13 +185,13 @@ def _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol):
         # in-edge E(p, d): V(k_n, k_p) with k_n fixed to the neighbor's label:
         # alpha[d, p] * TR(|Q[d, sol_n, p] - D0[k, p]|)
         sol_n = geometry.shift_from_neighbor(sol_black, d, fill=0)
-        Q_sel = jnp.take_along_axis(Q[d], sol_n[None], axis=0)[0]  # [H, W]
+        Q_sel = take_plane(Q[d], sol_n)  # [H, W]
         cost = cost + alphas[d][None] * truncated_kernel(
             Q_sel[None] - D0, kernel, tol
         )
         # out-edge E(n, OPP(d)) at neighbor n: V(k_p, k_n') as function of k_p,
         # alpha[OPP(d), n] * TR(|Q[OPP(d), k, n] - D0[sol_n', n]|), brought to p.
-        D0_sel = jnp.take_along_axis(D0, sol_black[None], axis=0)[0]
+        D0_sel = take_plane(D0, sol_black)
         t = alphas[OPP[d]][None] * truncated_kernel(Q[OPP[d]] - D0_sel[None],
                                                     kernel, tol)
         cost = cost + geometry.shift_from_neighbor(t, d, fill=0.0)
@@ -206,12 +206,12 @@ def _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol):
 def labeling_energy(labels, theta, D0, Q, alphas, kernel, tol):
     """Exact MRF energy of an integer labeling [H, W] under the solver's data."""
     acc_dtype = jnp.promote_types(theta.dtype, jnp.float32)
-    u = jnp.take_along_axis(theta, labels[None], axis=0)[0]
+    u = take_plane(theta, labels)
     E = jnp.sum(u, dtype=acc_dtype)
-    D0_sel = jnp.take_along_axis(D0, labels[None], axis=0)[0]
+    D0_sel = take_plane(D0, labels)
     for d in range(NUM_DIRS):
         sol_n = geometry.shift_from_neighbor(labels, d, fill=0)
-        Q_sel = jnp.take_along_axis(Q[d], sol_n[None], axis=0)[0]
+        Q_sel = take_plane(Q[d], sol_n)
         c = alphas[d] * truncated_kernel(Q_sel - D0_sel, kernel, tol)
         E = E + jnp.sum(c, dtype=acc_dtype)
     return E

@@ -126,16 +126,17 @@ def solve_tables(
             sol_n = geometry.shift_from_neighbor(sol_black, d, fill=0)
             Tb = jnp.broadcast_to(_table_at(tables, d), (K, K, H, W))
             # in-edge E(p, d): V_d(sol_n, k_p) * valid
-            col = jnp.take_along_axis(
-                Tb, sol_n[None, None, :, :], axis=0
-            )[0]  # [K, H, W] over k_head
+            col = geometry.take_plane(
+                Tb, jnp.broadcast_to(sol_n[None], (K, H, W))
+            )  # [K, H, W] over k_head
             cost = cost + valid[d][None] * col
             # out-edge E(n, OPP(d)) at the neighbor n = p + DIRS[d]:
             # V_{OPP(d)}(k_p, sol_n) evaluated at n, brought to p
             Tb_opp = jnp.broadcast_to(_table_at(tables, OPP[d]), (K, K, H, W))
-            row_t = jnp.take_along_axis(
-                Tb_opp, sol_black[None, None, :, :], axis=1
-            )[:, 0]  # [K, H, W] over k_tail
+            row_t = geometry.take_plane(
+                jnp.swapaxes(Tb_opp, 0, 1),
+                jnp.broadcast_to(sol_black[None], (K, H, W)),
+            )  # [K, H, W] over k_tail
             cost = cost + geometry.shift_from_neighbor(
                 valid[OPP[d]][None] * row_t, d, fill=0.0
             )
@@ -143,13 +144,14 @@ def solve_tables(
         labels = jnp.where(cb == 0, sol_black, sol_white)
 
         # exact energy of the labeling
-        u = jnp.take_along_axis(theta, labels[None], axis=0)[0]
+        u = geometry.take_plane(theta, labels)
         E = jnp.sum(u, dtype=acc_t)
         for d in range(NUM_DIRS):
             T = jnp.broadcast_to(_table_at(tables, d), (K, K, H, W))
             sol_n = geometry.shift_from_neighbor(labels, d, fill=0)
-            v1 = jnp.take_along_axis(T, sol_n[None, None], axis=0)[0]
-            v2 = jnp.take_along_axis(v1, labels[None], axis=0)[0]
+            v1 = geometry.take_plane(
+                T, jnp.broadcast_to(sol_n[None], (K, H, W)))
+            v2 = geometry.take_plane(v1, labels)
             E = E + jnp.sum(valid[d] * v2, dtype=acc_t)
         return labels, E
 
