@@ -33,6 +33,7 @@ class CVPR08Options:
     disp_thresh: float = 0.02
     smoothness_kernel: int = 1  # 1: truncated linear, 2: truncated quadratic
     col_thresh: float = 30.0
+    occl_const: float = 0.01  # occl_val = occl_const + log 2 (ojw_stereo.m:132)
     lambda_l: float = 9.0
     lambda_h: float = 108.0
     seg_params: tuple = (4, 5, 0)

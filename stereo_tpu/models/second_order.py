@@ -8,18 +8,23 @@ evaluates the truncated second derivative for all 8 cur/proposal corner
 combinations), optimized by QPBO fusion with the triple tables reduced to
 pairwise + auxiliary nodes (vgg_qpbo.cxx:209-256).
 
-This model reproduces that core (without the geometric visibility term,
-which is roadmapped):
+This model reproduces that core:
 
-    E(d) = sum_p U_p(d_p)
+    E(d) = sum_p sum_views U_{p,a}(d_p)   [or the visibility model below]
          + sum_{triples (p-,p,p+)} w_t * min(|d_{p-} - 2 d_p + d_{p+}|, tau)
 
 with U the Woodford photoconsistency unary (ops/photo) on the scalar field's
-fronto-parallel planes and w_t the segmentation-modulated weights of the
-center pixel's in-edges.  Unary/curvature maps evaluate on device; fusion
-moves solve on the native QPBO through the cubic reduction (host) — the
-device/tensor split mirrors the reference's MATLAB/mex boundary, now with an
-exact, tested solver underneath.
+fronto-parallel planes, summed over input views, and w_t the
+segmentation-modulated weights of the center pixel's in-edges.  With
+``options.visibility`` (the reference default), the per-view photo costs move
+from the unary into the geometric visibility model of models/visibility:
+each (pixel, surface, view) sample either pays its photo cost or the
+occlusion cost occl_const + log 2, with Kinf edges forbidding visibility
+where a selected nearer surface projects on top (ibr_fuse_depths.m:57-139).
+Unary/curvature/projection maps evaluate on device; fusion moves solve on
+the native QPBO through the cubic reduction (host) — the device/tensor split
+mirrors the reference's MATLAB/mex boundary, now with an exact, tested
+solver underneath.
 """
 
 from __future__ import annotations
@@ -91,11 +96,29 @@ class SecondOrderStereo:
 
     # ------------------------------------------------------------ energy
     def unary_map(self, disp: jax.Array) -> jax.Array:
+        """Photoconsistency summed over all input views (visibility off)."""
         planes = geometry.plane_field_from_disparity(disp)
-        return photo.unary_cost(
-            planes, self.images[0], self.images[1],
-            jnp.asarray(self.P[1], jnp.float32), self.options.col_thresh,
-            d_min=self.d_min, d_step=max(self.d_step, 1.0),
+        u = None
+        for a in range(1, len(self.images)):
+            ua = photo.unary_cost(
+                planes, self.images[0], self.images[a],
+                jnp.asarray(self.P[a], jnp.float32), self.options.col_thresh,
+                d_min=self.d_min, d_step=max(self.d_step, 1.0),
+            )
+            u = ua if u is None else u + ua
+        return u
+
+    @property
+    def occl_val(self) -> float:
+        return self.options.occl_const + float(np.log(2.0))
+
+    def _vis_terms(self, D1, D2):
+        from stereo_tpu.models import visibility
+
+        return visibility.build_visibility_terms(
+            jnp.asarray(D1, jnp.float32), jnp.asarray(D2, jnp.float32),
+            self.images[1:], self.P[1:], self.images[0],
+            self.options.col_thresh, self.occl_val,
         )
 
     def smooth_map(self, disp: jax.Array) -> jax.Array:
@@ -105,29 +128,31 @@ class SecondOrderStereo:
         return ch + cv
 
     def energy(self) -> float:
+        if self.options.visibility:
+            from stereo_tpu.models import visibility
+
+            terms = self._vis_terms(self.disp, self.disp)
+            e_vis, _ = visibility.calc_vis_energy(
+                terms, np.zeros(terms["tp"], np.int32))
+            smooth = float(np.asarray(self.smooth_map(self.disp),
+                                      np.float64).sum())
+            return e_vis + smooth
         return float(_scalar_energy(self))
 
-    # ------------------------------------------------------------ fusion
-    def fuse(self, proposal) -> float:
-        """One QPBO fusion with triple cliques; never increases energy."""
-        H, W = self.sz
-        cur = np.asarray(self.disp, np.float64)
-        prop = np.asarray(jnp.asarray(proposal), np.float64)
-        U0 = np.asarray(self.unary_map(self.disp), np.float64).ravel()
-        U1 = np.asarray(self.unary_map(jnp.asarray(prop, jnp.float32)),
-                        np.float64).ravel()
-        cur_n = (cur - self.d_min) / max(self.d_step, 1.0)
-        prop_n = (prop - self.d_min) / max(self.d_step, 1.0)
+    def _fusion_triples(self, cur_n, prop_n):
+        """Triple-clique tables of a fusion pair (normalized disparities).
 
+        Returns (triples list for the solver, blocks for vectorized energy
+        evaluation): the 8-entry truncated-second-derivative tables of
+        ibr_fuse_depths.m:166-187 over row and column triples."""
+        H, W = self.sz
         nid = np.arange(H * W).reshape(H, W)
-        triples = []
         w_h = np.asarray(self.w_h, np.float64)
         w_v = np.asarray(self.w_v, np.float64)
-
-        e_cur_smooth = 0.0  # host f64 triple energy of the current labeling
+        triples = []
+        blocks = []
 
         def add_triples(ids_a, ids_b, ids_c, w_center):
-            nonlocal e_cur_smooth
             vals = np.stack([
                 np.stack([cur_n.ravel()[ids_a], prop_n.ravel()[ids_a]]),
                 np.stack([cur_n.ravel()[ids_b], prop_n.ravel()[ids_b]]),
@@ -140,7 +165,7 @@ class SecondOrderStereo:
                     for xc in range(2):
                         d2 = np.abs(vals[0, xa] - 2 * vals[1, xb] + vals[2, xc])
                         table[xa, xb, xc] = np.minimum(d2, self.tau) * w_center
-            e_cur_smooth += float(table[0, 0, 0].sum())
+            blocks.append((ids_a, ids_b, ids_c, table))
             for t in range(T):
                 triples.append((int(ids_a[t]), int(ids_b[t]), int(ids_c[t]),
                                 table[:, :, :, t]))
@@ -149,7 +174,55 @@ class SecondOrderStereo:
         add_triples(*ids, w_h[:, 1:-1].ravel())
         ids = nid[:-2, :].ravel(), nid[1:-1, :].ravel(), nid[2:, :].ravel()
         add_triples(*ids, w_v[1:-1, :].ravel())
+        return triples, blocks
 
+    @staticmethod
+    def _triples_energy(blocks, y):
+        """Vectorized f64 energy of labeling y under the triple tables."""
+        e = 0.0
+        for ids_a, ids_b, ids_c, table in blocks:
+            e += float(table[y[ids_a], y[ids_b], y[ids_c],
+                             np.arange(len(ids_a))].sum())
+        return e
+
+    # ------------------------------------------------------------ fusion
+    def fuse(self, proposal) -> float:
+        """One QPBO fusion with triple cliques (and, per options.visibility,
+        the geometric occlusion model); never increases energy."""
+        H, W = self.sz
+        tp = H * W
+        cur = np.asarray(self.disp, np.float64)
+        prop = np.asarray(jnp.asarray(proposal), np.float64)
+        cur_n = (cur - self.d_min) / max(self.d_step, 1.0)
+        prop_n = (prop - self.d_min) / max(self.d_step, 1.0)
+        triples, blocks = self._fusion_triples(cur_n, prop_n)
+        zeros = np.zeros(tp, np.int32)
+
+        if self.options.visibility:
+            from stereo_tpu.models import visibility
+
+            terms = self._vis_terms(cur, prop)
+            U0 = np.concatenate([terms["unary0"], terms["aux0"]])
+            U1 = np.concatenate([terms["unary1"], terms["aux1"]])
+            tails, heads, E00, E01, E10, E11 = terms["edges"]
+            labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
+                U0, U1, tails, heads, E00, E01, E10, E11, triples,
+            )
+            y = np.where(labels[:tp] >= 0, labels[:tp], 0).astype(np.int32)
+            # consistent host-f64 guard with samples minimized out exactly
+            e_move = (visibility.calc_vis_energy(terms, y)[0]
+                      + self._triples_energy(blocks, y))
+            e_keep = (visibility.calc_vis_energy(terms, zeros)[0]
+                      + self._triples_energy(blocks, zeros))
+            if e_move <= e_keep:
+                take = (y == 1).reshape(H, W)
+                self.disp = jnp.asarray(np.where(take, prop, cur), jnp.float32)
+                return e_move
+            return e_keep
+
+        U0 = np.asarray(self.unary_map(self.disp), np.float64).ravel()
+        U1 = np.asarray(self.unary_map(jnp.asarray(prop, jnp.float32)),
+                        np.float64).ravel()
         labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
             U0, U1, [], [], [], [], [], [], triples,
         )
@@ -157,7 +230,7 @@ class SecondOrderStereo:
         # host-f64 energy of the all-zeros (keep-current) labeling, not the
         # device-f32 _scalar_energy (cross-precision disagreement could
         # otherwise accept marginally-worsening moves).
-        e_cur = float(U0.sum()) + e_cur_smooth
+        e_cur = float(U0.sum()) + self._triples_energy(blocks, zeros)
         if e <= e_cur:
             take = (labels == 1).reshape(H, W)
             self.disp = jnp.asarray(np.where(take, prop, cur), jnp.float32)

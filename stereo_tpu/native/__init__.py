@@ -101,6 +101,7 @@ def _declare(L: ctypes.CDLL):
             f64p, f64p, f64p, ct.c_double,  # q_src, q_dst, alphas, tol
             i32p, ct.c_int, ct.c_double,  # order, maxiter, max_relgap
             i32p, f64p, f64p,  # labels, energy, lb
+            f64p, f64p, f64p,  # trace_e, trace_lb, trace_t (nullable)
         ]
         L.trws_serial.restype = ct.c_int
 

@@ -15,6 +15,7 @@
 // sorted destination positions, truncated at min(H) + alpha * tol.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <limits>
@@ -168,13 +169,18 @@ extern "C" {
 
 // Serial TRW-S.  unary: node-major K*N; q_src/q_dst: edge-major K*E;
 // order: permutation of 0..N-1 (processing order).  Outputs: labels (N),
-// energy, lower bound; returns iterations run.
+// energy, lower bound; returns iterations run.  trace_e/trace_lb/trace_t
+// (nullable, length >= maxiter) record the decoded energy, lower bound and
+// cumulative wall-clock seconds after each iteration — the benchmark's
+// time-to-energy trajectory.
 int trws_serial(int kernel, int K, int n_nodes, int n_edges,
                 const double* unary, const int32_t* tails,
                 const int32_t* heads, const double* q_src,
                 const double* q_dst, const double* alphas, double tol,
                 const int32_t* order, int maxiter, double max_relgap,
-                int32_t* labels_out, double* energy_out, double* lb_out) {
+                int32_t* labels_out, double* energy_out, double* lb_out,
+                double* trace_e, double* trace_lb, double* trace_t) {
+  auto t_start = std::chrono::steady_clock::now();
   std::vector<int32_t> pos(n_nodes);
   for (int r = 0; r < n_nodes; r++) pos[order[r]] = r;
 
@@ -311,6 +317,13 @@ int trws_serial(int kernel, int K, int n_nodes, int n_edges,
       labels_out[i] = best;
       energy += Db[best];
     }
+    if (trace_e) trace_e[iter - 1] = energy;
+    if (trace_lb) trace_lb[iter - 1] = lb;
+    if (trace_t)
+      trace_t[iter - 1] =
+          std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                        t_start)
+              .count();
     double relgap = energy != 0 ? (energy - lb) / energy : 0.0;
     if (relgap < max_relgap) break;
   }

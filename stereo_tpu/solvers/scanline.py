@@ -123,7 +123,12 @@ class _RowData:
 
 
 def _beliefs_row(rd: _RowData, M, r):
-    """Beliefs of padded row r: theta + all 8 incident buffers. [K, W]."""
+    """Beliefs of padded row r: theta + all 8 incident buffers. [K, W].
+
+    M is a 4-tuple of per-direction buffers [K, H+2, W] — separate arrays so
+    every row write is a single in-place dynamic-update-slice on the scan
+    carry (a stacked [4, K, H+2, W] carry forced XLA to materialize a full
+    copy per .at[d].set, ~12 copies of the whole message state per row)."""
     th = rd.row(rd.theta, r)
     D = th
     for d in range(4):
@@ -138,7 +143,8 @@ def _beliefs_row(rd: _RowData, M, r):
 
 
 def _set_row(M, d, r, value):
-    return M.at[d].set(lax.dynamic_update_index_in_dim(M[d], value, r, axis=-2))
+    """Tuple-of-arrays in-place row update (see _beliefs_row)."""
+    return M[:d] + (lax.dynamic_update_index_in_dim(M[d], value, r, axis=-2),) + M[d + 1:]
 
 
 def _masked(new, old, mask_w):
@@ -367,7 +373,8 @@ def solve_scanline(
 
     if messages is None:
         messages = jnp.zeros((4, K, H, W), dtype)
-    M0 = pad_row(messages)
+    Mp = pad_row(messages)
+    M0 = (Mp[0], Mp[1], Mp[2], Mp[3])
 
     def sweep(M, _):
         M, _ = lax.scan(fwd_row, M, jnp.arange(H))
@@ -396,4 +403,5 @@ def solve_scanline(
     state0 = (M0, jnp.zeros((), jnp.int32), zero, zero,
               jnp.zeros((H, W), jnp.int32))
     M, iters, energy, lb, labels = lax.while_loop(cond, body, state0)
+    M = jnp.stack(M, axis=0)
     return TRWSResult(labels, energy, lb, iters, M[:, :, 1:-1, :])

@@ -16,8 +16,10 @@ def make_model(H=12, W=18, shift=2, seed=0):
     P = np.zeros((2, 3, 4))
     P[:, :, :3] = np.eye(3)
     P[1, 0, 3] = -1.0
+    # visibility=False isolates the curvature/QPBO core; the geometric
+    # occlusion model has its own tests (test_visibility.py)
     return SecondOrderStereo([im0, im1], P, (0, 4), 1,
-                             CVPR08Options(), seed=seed)
+                             CVPR08Options(visibility=False), seed=seed)
 
 
 def test_curvature_map_values():
