@@ -39,6 +39,9 @@ class CVPR08Options:
     seg_params: tuple = (4, 5, 0)
     connect: int = 4
     improve: int = 4
+    independent: bool = False  # merge regions before the choose_labels
+    # splice (exact per-region flips) instead of strongly-connected regions
+    # with lowest-region clique attribution (ojw_default_options.m:78)
     max_iters: int = 3000
     converge: float = 0.01
     average_over: int = 20

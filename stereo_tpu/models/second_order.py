@@ -186,6 +186,37 @@ class SecondOrderStereo:
         return e
 
     # ------------------------------------------------------------ fusion
+    def _complete_labels(self, labels, regions, U0, U1, tails, heads, E,
+                         triples):
+        """Complete a partial QPBO labeling per ``options.improve`` — the
+        reference's improve modes (ibr_fuse_depths.m:189-230):
+
+        0: unlabelled keep current (all-zeros completion);
+        1: QPBO-I from the keep-current completion (QPBOI-F);
+        2: choose_labels per-region splice (QPBO-R);
+        3: choose_labels all-0 vs all-1 (QPBO-L);
+        4: QPBO-I seeded by the choose_labels splice (QPBOI-R, the
+           callback at ibr_fuse_depths.m:195-197).
+        """
+        imp = int(self.options.improve)
+        labels = np.asarray(labels)
+        y0 = np.where(labels >= 0, labels, 0).astype(np.int32)
+        if imp == 0 or (labels >= 0).all():
+            return y0
+        if imp in (2, 3):
+            y, _ = qpbo_host.choose_labels(
+                labels, regions, U0, U1, tails, heads, *E, triples=triples,
+                mode=imp, independent=self.options.independent)
+            return y.astype(np.int32)
+        init = None
+        if imp == 4:
+            init, _ = qpbo_host.choose_labels(
+                labels, regions, U0, U1, tails, heads, *E, triples=triples,
+                mode=2, independent=self.options.independent)
+        y, _ = qpbo_host.improve_with_triples(
+            labels, U0, U1, tails, heads, *E, triples, init=init)
+        return y.astype(np.int32)
+
     def fuse(self, proposal) -> float:
         """One QPBO fusion with triple cliques (and, per options.visibility,
         the geometric occlusion model); never increases energy."""
@@ -205,10 +236,13 @@ class SecondOrderStereo:
             U0 = np.concatenate([terms["unary0"], terms["aux0"]])
             U1 = np.concatenate([terms["unary1"], terms["aux1"]])
             tails, heads, E00, E01, E10, E11 = terms["edges"]
-            labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
-                U0, U1, tails, heads, E00, E01, E10, E11, triples,
+            E = (E00, E01, E10, E11)
+            labels, e, lb, n_unlab, regions = qpbo_host.solve_with_triples(
+                U0, U1, tails, heads, *E, triples, regions=True,
             )
-            y = np.where(labels[:tp] >= 0, labels[:tp], 0).astype(np.int32)
+            y_full = self._complete_labels(labels, regions, U0, U1,
+                                           tails, heads, E, triples)
+            y = y_full[:tp].astype(np.int32)
             # consistent host-f64 guard with samples minimized out exactly
             e_move = (visibility.calc_vis_energy(terms, y)[0]
                       + self._triples_energy(blocks, y))
@@ -223,18 +257,22 @@ class SecondOrderStereo:
         U0 = np.asarray(self.unary_map(self.disp), np.float64).ravel()
         U1 = np.asarray(self.unary_map(jnp.asarray(prop, jnp.float32)),
                         np.float64).ravel()
-        labels, e, lb, n_unlab = qpbo_host.solve_with_triples(
-            U0, U1, [], [], [], [], [], [], triples,
+        ee = ([], [], [], [])
+        labels, e, lb, n_unlab, regions = qpbo_host.solve_with_triples(
+            U0, U1, [], [], *ee, triples, regions=True,
         )
+        y = self._complete_labels(labels, regions, U0, U1, [], [], ee,
+                                  triples)
         # Never-increase guard evaluated in ONE arithmetic: the solver's own
         # host-f64 energy of the all-zeros (keep-current) labeling, not the
         # device-f32 _scalar_energy (cross-precision disagreement could
         # otherwise accept marginally-worsening moves).
         e_cur = float(U0.sum()) + self._triples_energy(blocks, zeros)
-        if e <= e_cur:
-            take = (labels == 1).reshape(H, W)
+        e_move = (float(np.where(y == 1, U1, U0).sum())
+                  + self._triples_energy(blocks, y))
+        if e_move <= e_cur:
+            take = (y == 1).reshape(H, W)
             self.disp = jnp.asarray(np.where(take, prop, cur), jnp.float32)
-            return self.energy()
         return self.energy()
 
     def restart(self):

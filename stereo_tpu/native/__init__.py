@@ -114,5 +114,6 @@ def _declare(L: ctypes.CDLL):
             ct.c_int,  # improve
             i32p,  # labels out (-1 unlabelled)
             f64p, f64p, i32p,  # energy, lower bound, n_unlabelled
+            i32p,  # regions out (nullable)
         ]
         L.qpbo_solve.restype = ct.c_int

@@ -386,6 +386,10 @@ extern "C" {
 // labels_out: 0/1/-1 (unlabelled).  energy_out: energy of the labeling where
 // unlabelled nodes take 0 (the fusion "keep current" completion, matching
 // how rd_mex's result is consumed at dispmap_super.m:83).  lb_out: roof dual.
+// regions_out (nullable): per-node strongly-connected-region id for nodes
+// left unlabelled after weak persistency (-1 for labelled nodes), compacted
+// to 0..R-1 — the GetRegions equivalent consumed by the reference's
+// choose_labels optimal splice (vgg_qpbo.cxx / ibr_fuse_depths.m:287-375).
 int qpbo_solve(int n_nodes, int n_edges,
                const double* U0, const double* U1,
                const int32_t* tails, const int32_t* heads,
@@ -394,7 +398,7 @@ int qpbo_solve(int n_nodes, int n_edges,
                int improve,  // bit 0: QPBO-I (reserved); bit 1: skip weak
                              // persistency extension
                int32_t* labels_out, double* energy_out, double* lb_out,
-               int32_t* n_unlabelled_out) {
+               int32_t* n_unlabelled_out, int32_t* regions_out) {
   const bool use_weak = (improve & 2) == 0;
   auto U = [&](int i) { return 2 * i; };
   auto V = [&](int i) { return 2 * i + 1; };
@@ -480,25 +484,48 @@ int qpbo_solve(int n_nodes, int n_edges,
   // symmetry of the network makes this assignment consistent and
   // non-increasing).  Variables whose literals share a component stay
   // unlabeled.
-  if (use_weak && n_unlab > 0) {
+  if ((use_weak || regions_out) && n_unlab > 0) {
     // all literal nodes participate — labeled nodes transit implications;
     // only unlabeled variables receive new labels
     std::vector<uint8_t> active(mf.n, 1);
     SCC scc(mf, active);
     scc.run();
-    n_unlab = 0;
-    for (int i = 0; i < n_nodes; i++) {
-      if (labels_out[i] >= 0) continue;
-      int32_t cu = scc.comp[U(i)], cv = scc.comp[V(i)];
-      if (cu == cv || cu < 0 || cv < 0) {
-        n_unlab++;
-        continue;
+    if (use_weak) {
+      n_unlab = 0;
+      for (int i = 0; i < n_nodes; i++) {
+        if (labels_out[i] >= 0) continue;
+        int32_t cu = scc.comp[U(i)], cv = scc.comp[V(i)];
+        if (cu == cv || cu < 0 || cv < 0) {
+          n_unlab++;
+          continue;
+        }
+        // comp ids are in finalization (reverse-topological) order: the
+        // component finalized first is downstream of every residual
+        // implication; putting its literals at 1 satisfies all implications.
+        labels_out[i] = (cu < cv) ? 0 : 1;
       }
-      // comp ids are in finalization (reverse-topological) order: the
-      // component finalized first is downstream of every residual
-      // implication; putting its literals at 1 satisfies all implications.
-      labels_out[i] = (cu < cv) ? 0 : 1;
     }
+    if (regions_out) {
+      // variables still unlabelled have comp[U] == comp[V]; group them by
+      // that SCC id, compacted in first-seen order
+      std::vector<int32_t> compact(scc.ncomp, -1);
+      int32_t nreg = 0;
+      for (int i = 0; i < n_nodes; i++) {
+        if (labels_out[i] >= 0) {
+          regions_out[i] = -1;
+          continue;
+        }
+        int32_t c = scc.comp[U(i)];
+        if (c < 0) {  // isolated unlabelled node: its own region
+          regions_out[i] = nreg++;
+          continue;
+        }
+        if (compact[c] < 0) compact[c] = nreg++;
+        regions_out[i] = compact[c];
+      }
+    }
+  } else if (regions_out) {
+    for (int i = 0; i < n_nodes; i++) regions_out[i] = -1;
   }
   *n_unlabelled_out = n_unlab;
 

@@ -16,11 +16,15 @@ from stereo_tpu import native
 
 
 def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
-          weak: bool = True):
+          weak: bool = True, regions: bool = False):
     """Returns (labels [N] in {-1,0,1}, energy, lower_bound, n_unlabelled).
 
     ``weak``: extend the strongly-persistent labeling with weak persistency
     (ComputeWeakPersistencies equivalent; on by default like rd_mex.cpp:69).
+    ``regions``: also return the per-node strongly-connected-region ids of
+    the unlabelled nodes (the GetRegions analog feeding choose_labels,
+    ibr_fuse_depths.m:287-375): int32 [N], region id in 0..R-1 for
+    unlabelled nodes, -1 for labelled ones.
     """
     U0 = np.ascontiguousarray(U0, dtype=np.float64).ravel()
     U1 = np.ascontiguousarray(U1, dtype=np.float64).ravel()
@@ -45,6 +49,7 @@ def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
     L = native.lib()
     f64p = ctypes.POINTER(ctypes.c_double)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    reg = np.zeros(n, dtype=np.int32) if regions else None
     rc = L.qpbo_solve(
         n, m,
         U0.ctypes.data_as(f64p), U1.ctypes.data_as(f64p),
@@ -54,14 +59,19 @@ def solve(U0, U1, tails, heads, E00, E01, E10, E11, improve: bool = False,
         int(bool(improve)) | (0 if weak else 2),
         labels.ctypes.data_as(i32p),
         ctypes.byref(energy), ctypes.byref(lb), ctypes.byref(n_unlab),
+        reg.ctypes.data_as(i32p) if regions else ctypes.cast(None, i32p),
     )
     if rc != 0:
         raise RuntimeError(f"qpbo_solve failed with code {rc}")
-    return labels, float(energy.value), float(lb.value), int(n_unlab.value)
+    out = (labels, float(energy.value), float(lb.value), int(n_unlab.value))
+    if regions:
+        return out + (reg,)
+    return out
 
 
 def solve_with_triples(U0, U1, tails, heads, E00, E01, E10, E11, triples,
-                       improve: bool = False, weak: bool = True):
+                       improve: bool = False, weak: bool = True,
+                       regions: bool = False):
     """QPBO with triple cliques — the vgg_qpbo capability
     (imrender/vgg/vgg_qpbo.cxx:209-256 reduces each 8-entry triple table to
     pairwise terms plus one auxiliary node; here via the Freedman-Drineas
@@ -146,9 +156,11 @@ def solve_with_triples(U0, U1, tails, heads, E00, E01, E10, E11, triples,
 
     U0_full = np.concatenate([U0, [u[1] for u in extra_u]])
     U1_full = np.concatenate([U1, [u[2] for u in extra_u]])
-    labels, e_raw, lb, n_unlab = solve(
+    res = solve(
         U0_full, U1_full, tails, heads, *pe, improve=improve, weak=weak,
+        regions=regions,
     )
+    labels, e_raw, lb, n_unlab = res[:4]
     lb += const
     lab_orig = labels[:n]
     # energy of the keep-zero completion on the ORIGINAL energy
@@ -156,7 +168,10 @@ def solve_with_triples(U0, U1, tails, heads, E00, E01, E10, E11, triples,
     E = triples_energy(y, U0_orig, U1_orig, tails_orig, heads_orig,
                        E00, E01, E10, E11, triples)
     n_unlab = int((lab_orig < 0).sum())
-    return lab_orig, E, lb, n_unlab
+    out = (lab_orig, E, lb, n_unlab)
+    if regions:
+        out = out + (res[4][:n],)
+    return out
 
 
 def triples_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11, triples):
@@ -173,8 +188,181 @@ def triples_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11, triples):
     return E
 
 
+def _triple_arrays(triples):
+    """(A, B, C, tables[T,2,2,2]) from a triples list; empty arrays if none."""
+    tl = list(triples)
+    if not tl:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros((0, 2, 2, 2), np.float64)
+    A = np.array([t[0] for t in tl], np.int64)
+    B = np.array([t[1] for t in tl], np.int64)
+    C = np.array([t[2] for t in tl], np.int64)
+    T = np.stack([np.asarray(t[3], np.float64).reshape(2, 2, 2) for t in tl])
+    return A, B, C, T
+
+
+def choose_labels(labels, regions, U0, U1, tails, heads, E00, E01, E10, E11,
+                  triples=(), mode: int = 2, independent: bool = False):
+    """Complete a QPBO partial labeling by splicing over its
+    strongly-connected unlabelled regions — the reference's choose_labels
+    (ibr_fuse_depths.m:287-375).
+
+    ``labels``: [N] in {-1, 0, 1}; ``regions``: [N] region id for unlabelled
+    nodes, -1 for labelled ones (from ``solve(..., regions=True)``).
+
+    mode=3 (QPBO-L): whichever of the all-0 / all-1 completions of the
+    unlabelled set has lower total energy.  mode=2 (QPBO-R): per-region
+    choice — a region flips to 1 iff the sum of its incident cliques'
+    (completion-1 − completion-0) deltas is negative.  With ``independent``
+    regions are first merged along shared cliques so every flip decision is
+    exact (the splice is then optimal over region flips); otherwise a clique
+    spanning several regions attributes its delta to the lowest region id,
+    as the reference does by default (ojw_default_options.m:78).
+
+    Returns (y, n_regions): a complete 0/1 labeling and the number of
+    (merged) regions considered.
+    """
+    labels = np.asarray(labels)
+    U0 = np.asarray(U0, np.float64).ravel()
+    U1 = np.asarray(U1, np.float64).ravel()
+    tails = np.asarray(tails, np.int64).ravel()
+    heads = np.asarray(heads, np.int64).ravel()
+    E = [np.asarray(e, np.float64).ravel() for e in (E00, E01, E10, E11)]
+    free = labels < 0
+    y0 = np.where(free, 0, labels).astype(np.int64)
+    if not free.any():
+        return y0, 0
+    y1 = np.where(free, 1, y0)
+    if mode == 3:
+        e0 = triples_energy(y0, U0, U1, tails, heads, *E, triples)
+        e1 = triples_energy(y1, U0, U1, tails, heads, *E, triples)
+        return (y1, 1) if e1 < e0 else (y0, 1)
+    if mode != 2:
+        raise ValueError(f"choose_labels mode must be 2 or 3, got {mode}")
+
+    reg_in = np.asarray(regions, np.int64)
+    # compact region ids over the free ORIGINAL nodes (ids owned solely by
+    # reduction-auxiliary nodes may be absent from this view)
+    uniq = np.unique(reg_in[free])
+    R = len(uniq)
+    nodereg = np.zeros(len(labels), np.int64)
+    nodereg[free] = np.searchsorted(uniq, reg_in[free])
+
+    A, B, C, TT = _triple_arrays(triples)
+
+    if independent and R > 1:
+        parent = np.arange(R)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union_pairs(pa, pb):
+            for a, b in zip(pa, pb):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+        m = free[tails] & free[heads]
+        union_pairs(nodereg[tails[m]], nodereg[heads[m]])
+        for X, Y in ((A, B), (A, C), (B, C)):
+            m = free[X] & free[Y]
+            union_pairs(nodereg[X[m]], nodereg[Y[m]])
+        roots = np.array([find(r) for r in range(R)])
+        nodereg[free] = roots[nodereg[free]]
+        n_regions = len(np.unique(roots))
+    else:
+        n_regions = R
+
+    BIGREG = np.int64(R)  # sentinel above every region id for labelled nodes
+    delta = np.zeros(R + 1, np.float64)
+
+    # unary deltas
+    np.add.at(delta, nodereg[free], (U1 - U0)[free])
+
+    # pairwise deltas → lowest incident free region (exact after merging)
+    if len(tails):
+        anyf = free[tails] | free[heads]
+        t_, h_ = tails[anyf], heads[anyf]
+        Em = np.stack(E, 0)[:, anyf]
+        ar = np.arange(len(t_))
+        e0 = Em[2 * y0[t_] + y0[h_], ar]
+        e1 = Em[2 * y1[t_] + y1[h_], ar]
+        rr = np.minimum(np.where(free[t_], nodereg[t_], BIGREG),
+                        np.where(free[h_], nodereg[h_], BIGREG))
+        np.add.at(delta, rr, e1 - e0)
+
+    # triple deltas likewise
+    if len(A):
+        anyf = free[A] | free[B] | free[C]
+        a_, b_, c_ = A[anyf], B[anyf], C[anyf]
+        Tm = TT[anyf]
+        ar = np.arange(len(a_))
+        e0 = Tm[ar, y0[a_], y0[b_], y0[c_]]
+        e1 = Tm[ar, y1[a_], y1[b_], y1[c_]]
+        rr = np.minimum(np.where(free[a_], nodereg[a_], BIGREG),
+                        np.where(free[b_], nodereg[b_], BIGREG))
+        rr = np.minimum(rr, np.where(free[c_], nodereg[c_], BIGREG))
+        np.add.at(delta, rr, e1 - e0)
+
+    flip = delta[:R] < 0.0
+    y = y0.copy()
+    y[free & flip[nodereg]] = 1
+    return y, n_regions
+
+
+def improve_with_triples(labels, U0, U1, tails, heads, E00, E01, E10, E11,
+                         triples, rounds: int = 3, seed: int = 0, init=None):
+    """QPBO-I at the triple-clique level (vals.improve modes 1/4,
+    ibr_fuse_depths.m:191-197 — QPBOI-F runs from the keep-current
+    completion, QPBOI-R from a choose_labels splice passed as ``init``).
+
+    Each round pins a random half of the originally-unlabelled nodes to
+    their current value via hard unaries, re-solves the reduced problem, and
+    keeps the result iff the full triple-clique energy did not increase.
+    Returns (y, energy) with y a complete 0/1 labeling over the original
+    nodes.
+    """
+    U0 = np.asarray(U0, np.float64).ravel()
+    U1 = np.asarray(U1, np.float64).ravel()
+    labels = np.asarray(labels)
+    n = len(U0)
+    if init is not None:
+        y = np.asarray(init, np.int64).ravel().copy()
+        y[labels >= 0] = labels[labels >= 0]
+    else:
+        y = np.where(labels >= 0, labels, 0).astype(np.int64)
+    free = labels < 0
+    best_e = triples_energy(y, U0, U1, tails, heads, E00, E01, E10, E11,
+                            triples)
+    if not free.any():
+        return y, best_e
+
+    _, _, _, TT = _triple_arrays(triples)
+    tmax = float(np.abs(TT).max()) if TT.size else 0.0
+    scale = max(np.abs(U0).max(), np.abs(U1).max(), tmax, 1.0)
+    BIG = 1e6 * scale * n
+    rng = np.random.default_rng(seed)
+    for _ in range(rounds):
+        fix = free & (rng.random(n) < 0.5)
+        u0 = U0.copy()
+        u1 = U1.copy()
+        u0[fix & (y == 1)] = BIG
+        u1[fix & (y == 0)] = BIG
+        lab, _, _, _ = solve_with_triples(u0, u1, tails, heads,
+                                          E00, E01, E10, E11, triples)
+        y_new = np.where(lab >= 0, lab, y)
+        e_new = triples_energy(y_new, U0, U1, tails, heads,
+                               E00, E01, E10, E11, triples)
+        if e_new <= best_e:
+            y, best_e = y_new, e_new
+    return y, best_e
+
+
 def improve(labels, U0, U1, tails, heads, E00, E01, E10, E11,
-            rounds: int = 3, seed: int = 0):
+            rounds: int = 3, seed: int = 0, init=None):
     """QPBO-I (the rd_mex Improve path, rd_mex.cpp:91-92): randomized
     fix-and-resolve.
 
@@ -187,12 +375,20 @@ def improve(labels, U0, U1, tails, heads, E00, E01, E10, E11,
     roof dual could not.  Follows the scheme of Rother et al., "Optimizing
     Binary MRFs via Extended Roof Duality" (CVPR 2007), not Kolmogorov's code.
 
+    ``init`` (optional [N] 0/1): starting completion for the unlabelled
+    nodes instead of all-zeros — the seed produced by choose_labels in the
+    reference's QPBOI-R mode (ibr_fuse_depths.m:195-197).
+
     Returns (y, energy) with y a complete 0/1 labeling.
     """
     U0 = np.asarray(U0, dtype=np.float64).ravel().copy()
     U1 = np.asarray(U1, dtype=np.float64).ravel().copy()
     labels = np.asarray(labels)
-    y = np.where(labels >= 0, labels, 0).astype(np.int64)
+    if init is not None:
+        y = np.asarray(init, dtype=np.int64).ravel().copy()
+        y[labels >= 0] = labels[labels >= 0]
+    else:
+        y = np.where(labels >= 0, labels, 0).astype(np.int64)
     free = labels < 0
     if not free.any():
         return y, labeling_energy(y, U0, U1, tails, heads, E00, E01, E10, E11)

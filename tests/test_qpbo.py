@@ -226,3 +226,122 @@ def test_triple_cliques_pure_cubic_terms():
         assert lb <= best + 1e-9
         if nu == 0:
             assert e == pytest.approx(best, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# regions / choose_labels / improve_with_triples (the vgg_qpbo GetRegions +
+# ibr_fuse_depths.m:287-375 choose_labels splice + QPBOI-F/R modes)
+
+def _completion_energy(y, inst, triples=()):
+    return qpbo_host.triples_energy(np.asarray(y), *inst, triples)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_regions_mark_exactly_the_unlabelled(seed):
+    """regions[i] == -1 iff labels[i] >= 0; unlabelled ids compact 0..R-1."""
+    rng = np.random.default_rng(1300 + seed)
+    inst = random_instance(rng, 8, 14, submodular=False)
+    labels, e, lb, nu, regions = qpbo_host.solve(*inst, regions=True)
+    assert ((regions < 0) == (labels >= 0)).all()
+    if nu:
+        ids = np.unique(regions[labels < 0])
+        assert ids.min() == 0 and ids.max() == len(ids) - 1
+
+
+def _unlabelled_instance(rng, n=7, m=12, triples=0, tries=200):
+    """Fuzz until QPBO leaves nodes unlabelled (frustrated instances)."""
+    for _ in range(tries):
+        inst = random_instance(rng, n, m, submodular=False)
+        tr = []
+        for _ in range(triples):
+            ijk = rng.choice(n, size=3, replace=False)
+            tr.append((int(ijk[0]), int(ijk[1]), int(ijk[2]),
+                       rng.normal(0, 1, (2, 2, 2))))
+        if triples:
+            labels, e, lb, nu, reg = qpbo_host.solve_with_triples(
+                *inst, tr, regions=True)
+        else:
+            labels, e, lb, nu, reg = qpbo_host.solve(*inst, regions=True)
+        if nu > 0:
+            return inst, tr, labels, reg
+    raise AssertionError("could not fuzz an unlabelled instance")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_choose_labels_independent_is_optimal_over_region_flips(seed):
+    """With ``independent=True`` regions are merged along shared cliques, so
+    per-region flip decisions are exact and the splice is the OPTIMAL
+    completion over all 2^R whole-region flips (brute-forced here)."""
+    rng = np.random.default_rng(1400 + seed)
+    inst, _, labels, regions = _unlabelled_instance(rng)
+    y, nreg = qpbo_host.choose_labels(labels, regions, *inst,
+                                      mode=2, independent=True)
+    # recover the merged regions from y vs brute force over flip patterns
+    free = labels < 0
+    # brute force over flips of the ORIGINAL (unmerged) regions — a superset
+    # of the merged-region patterns, so optimal over it is a stronger claim
+    # only when deltas decompose; restrict to merged regions via union-find
+    # replay: enumerate patterns over unique region ids of the y-grouping.
+    uniq = np.unique(regions[free])
+    R = len(uniq)
+    if R > 10:
+        pytest.skip("too many regions to brute force")
+    y0 = np.where(free, 0, labels)
+    best = np.inf
+    for bits in itertools.product([0, 1], repeat=R):
+        yy = y0.copy()
+        for r, b in zip(uniq, bits):
+            if b:
+                yy[free & (regions == r)] = 1
+        best = min(best, _completion_energy(yy, inst))
+    e_y = _completion_energy(y, inst)
+    assert e_y == pytest.approx(best, abs=1e-9)
+    assert nreg <= R
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_choose_labels_mode3_picks_better_uniform_completion(seed):
+    rng = np.random.default_rng(1500 + seed)
+    inst, _, labels, regions = _unlabelled_instance(rng)
+    free = labels < 0
+    y0 = np.where(free, 0, labels)
+    y1 = np.where(free, 1, labels)
+    e0 = _completion_energy(y0, inst)
+    e1 = _completion_energy(y1, inst)
+    y, _ = qpbo_host.choose_labels(labels, regions, *inst, mode=3)
+    assert _completion_energy(y, inst) == pytest.approx(min(e0, e1), abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_choose_labels_with_triples_never_increases(seed):
+    """Splice (independent + mode 3) on triple-clique instances never ends
+    above the keep-zero completion."""
+    rng = np.random.default_rng(1600 + seed)
+    inst, tr, labels, regions = _unlabelled_instance(rng, triples=3)
+    free = labels < 0
+    y0 = np.where(free, 0, labels)
+    e0 = _completion_energy(y0, inst, tr)
+    for mode, indep in ((2, True), (3, False)):
+        y, _ = qpbo_host.choose_labels(labels, regions, *inst, triples=tr,
+                                       mode=mode, independent=indep)
+        assert _completion_energy(y, inst, tr) <= e0 + 1e-9
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_improve_with_triples_never_increases_and_respects_init(seed):
+    rng = np.random.default_rng(1700 + seed)
+    inst, tr, labels, regions = _unlabelled_instance(rng, triples=3)
+    free = labels < 0
+    y0 = np.where(free, 0, labels)
+    e0 = _completion_energy(y0, inst, tr)
+    y, e = qpbo_host.improve_with_triples(labels, *inst, tr, rounds=4,
+                                          seed=seed)
+    assert e <= e0 + 1e-9
+    assert e == pytest.approx(_completion_energy(y, inst, tr), abs=1e-9)
+    # QPBOI-R: seeded from the splice, never ends above the seed
+    init, _ = qpbo_host.choose_labels(labels, regions, *inst, triples=tr,
+                                      mode=2, independent=True)
+    e_init = _completion_energy(init, inst, tr)
+    y4, e4 = qpbo_host.improve_with_triples(labels, *inst, tr, rounds=4,
+                                            seed=seed, init=init)
+    assert e4 <= e_init + 1e-9

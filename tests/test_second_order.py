@@ -77,3 +77,35 @@ def test_optimize_unknown_kind_raises():
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown proposal kind"):
         dm.optimize(schedule=("bogus",), max_iters=1)
+
+
+@pytest.mark.parametrize("imp", [0, 1, 2, 3, 4])
+def test_improve_modes_never_increase(imp):
+    """Every reference improve mode (ibr_fuse_depths.m:189-230 — 0 keep,
+    1 QPBOI-F, 2 QPBO-R splice, 3 QPBO-L, 4 QPBOI-R) preserves the
+    never-increase invariant through fuse()."""
+    rng = np.random.default_rng(42)
+    dm = make_model(H=8, W=12, seed=3)
+    dm.options = CVPR08Options(visibility=False, improve=imp)
+    H, W = dm.sz
+    prev = dm.energy()
+    for trial in range(3):
+        prop = rng.random((H, W)) * dm.d_step + dm.d_min
+        e = dm.fuse(prop)
+        assert e <= prev + 1e-5
+        prev = e
+
+
+def test_improve_modes_visibility_path():
+    """Improve modes also hold under the geometric occlusion model."""
+    rng = np.random.default_rng(7)
+    for imp in (0, 4):
+        dm = make_model(H=8, W=12, seed=5)
+        dm.options = CVPR08Options(visibility=True, improve=imp)
+        H, W = dm.sz
+        prev = dm.energy()
+        for _ in range(2):
+            prop = rng.random((H, W)) * dm.d_step + dm.d_min
+            e = dm.fuse(prop)
+            assert e <= prev + 1e-5
+            prev = e
