@@ -48,6 +48,9 @@ class CVPR08Options:
     window: int = 2
     visibility: bool = True
     planar: bool = True
+    # stage codes for the full driver: SameUni, SegPln, Smooth*
+    # (ojw_default_options.m:80); tuple of ints, [N,H,W] array, or callable
+    proposal_method: tuple = (1, 2, 3)
 
     def __post_init__(self):
         if self.smoothness_kernel not in (1, 2):
