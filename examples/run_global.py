@@ -47,6 +47,22 @@ def main():
     dt = time.perf_counter() - t0
     print(f"final energy {dm.energy():.6g} "
           f"({len(segplns)} fusions in {dt:.2f}s, {len(segplns)/dt:.2f} moves/s)")
+
+    # Middlebury bad-pixel regression (BASELINE.md metric 1) — GT can't be
+    # downloaded in this environment (download_stereo.m needs egress), so the
+    # metric activates when GT files are provided via data dir or env var.
+    gt = io.load_ground_truth(args.pair)
+    if gt is not None:
+        from stereo_tpu import geometry
+        from stereo_tpu.utils import metrics
+
+        d = np.asarray(geometry.own_disparity(dm.assignment))
+        d = d / dm.disparity_factor
+        rate = metrics.bad_pixel_rate(d, gt, threshold=1.0)
+        print(f"bad-pixel rate (|err| > 1): {100 * rate:.2f}%")
+    else:
+        print("no GT disparities found (set STEREO_TPU_GT_DIR to enable "
+              "bad-pixel %)")
     return dm
 
 

@@ -19,9 +19,19 @@ the same anti-diagonal share no read/write buffers:
 So sweeping diagonals t = 0..H+W-2 with all of diagonal t updated in parallel
 is *bitwise* the sequential raster sweep — the classic wavefront
 parallelization of a scan.  This module implements it on *skewed* arrays
-(S[y, t] = A[y, t-y], anti-diagonals become columns) with a `lax.scan` over
-columns; every step is dense [K, H] work.  Exactness is pinned against
-tests/oracles.SequentialTRWS with the raster order (tests/test_wavefront.py).
+(S[y, t] = A[y, t-y], anti-diagonals become columns), stored *t-leading* so
+every step touches contiguous [·, K, H] column slabs:
+
+  - problem data:  theta/D0 [T+2, K, H], Q [T+2, 2, K, H] per direction
+    group, alphas/vmask [T+2, 2, H], gamma/pix [T+2, H];
+  - messages, split by the direction group each sweep direction *writes*:
+      MA [T+2, 2, K, H] = (RT, DN)  — written at col c by the forward pass,
+      MB [T+2, 2, K, H] = (LT, UP)  — written at col c by the backward pass,
+    so both passes perform two full-slab column writes per step and no
+    read-modify-write.
+
+Exactness is pinned against tests/oracles.SequentialTRWS with the raster
+order (tests/test_wavefront.py).
 
 Message/edge conventions match solvers/trws.py: buffer M[d][k, y, x] holds the
 message on edge E(p, d) = (tail = p + DIRS[d] -> head p), stored at the head;
@@ -45,6 +55,9 @@ from stereo_tpu.energy import truncated_kernel
 from stereo_tpu.solvers.trws import TRWSResult
 
 LT, RT, UP, DN = 0, 1, 2, 3
+# direction groups: A = (RT, DN) — forward-pass writes; B = (LT, UP)
+GROUP_A = (RT, DN)
+GROUP_B = (LT, UP)
 
 
 # ------------------------------------------------------------------ skewing
@@ -72,6 +85,20 @@ def unskew(s: jax.Array, W: int) -> jax.Array:
     return jnp.take_along_axis(s, idx, axis=-1)
 
 
+def _tlead(a: jax.Array, W: int) -> jax.Array:
+    """Skew the trailing [H, W] axes, pad one zero column each side, and move
+    the t axis to the front: [..., H, W] -> [T+2, ..., H]."""
+    s = skew(a, W)  # [..., H, T]
+    s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(1, 1)])
+    return jnp.moveaxis(s, -1, 0)
+
+
+def _tlead_inv(a: jax.Array, W: int) -> jax.Array:
+    """[T+2, ..., H] -> [..., H, W]: drop pad columns and unskew."""
+    s = jnp.moveaxis(a, 0, -1)[..., 1:-1]
+    return unskew(s, W)
+
+
 def raster_gamma(H: int, W: int, dtype=jnp.float32) -> jax.Array:
     """gamma = 1/max(nFwd, nBwd) under raster order. [H, W]."""
     ys = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32)
@@ -86,33 +113,31 @@ def raster_gamma(H: int, W: int, dtype=jnp.float32) -> jax.Array:
 
 
 # ---------------------------------------------------------- message updates
+# Leading batch axes (the stacked direction pair) broadcast through: all
+# inputs may carry [..., K, H] / [..., H] shapes.  One dense [..., K, K, H]
+# tensor per send keeps the scan-step body to a handful of fusable ops — a
+# per-label Python loop here costs ~100 tiny VPU launches per column and
+# dominated the sweep wall-clock (425 ms/sweep at baby2 K=15 on v5e).
 def _send_head(gD, Mold, Q, D0, alpha, kernel, tol):
     """Head-send: msg'[k_t] = min_{k_h}(gD[k_h] - Mold[k_h] + a·TR(Q[k_t]-D0[k_h])).
 
-    gD/Mold/Q/D0: [K, H]; alpha: [H].  Returns (normalized msg, vmin)."""
-    K = Q.shape[0]
-    Hs = gD - Mold
-    acc = None
-    for j in range(K):
-        t = Hs[j][None, :] + alpha[None, :] * truncated_kernel(
-            Q - D0[j][None, :], kernel, tol)
-        acc = t if acc is None else jnp.minimum(acc, t)
-    vmin = jnp.min(acc, axis=0)
-    return acc - vmin[None, :], vmin
+    gD/Mold/Q/D0: [..., K, H]; alpha: [..., H].  Returns (normalized msg, vmin)."""
+    Hs = gD - Mold  # [..., Kh, H]
+    term = alpha[..., None, None, :] * truncated_kernel(
+        Q[..., None, :, :] - D0[..., :, None, :], kernel, tol)  # [..., Kh, Kt, H]
+    acc = jnp.min(Hs[..., :, None, :] + term, axis=-3)  # [..., Kt, H]
+    vmin = jnp.min(acc, axis=-2)
+    return acc - vmin[..., None, :], vmin
 
 
 def _send_tail(gD_tail, Mold, Q, D0, alpha, kernel, tol):
     """Tail-send: msg'[k_h] = min_{k_t}(gD_tail[k_t] - Mold[k_t] + a·TR(Q[k_t]-D0[k_h]))."""
-    K = Q.shape[0]
-    Hs = gD_tail - Mold
-    out = []
-    for j in range(K):
-        t = Hs + alpha[None, :] * truncated_kernel(Q - D0[j][None, :],
-                                                   kernel, tol)
-        out.append(jnp.min(t, axis=0))
-    msg = jnp.stack(out, axis=0)
-    vmin = jnp.min(msg, axis=0)
-    return msg - vmin[None, :], vmin
+    Hs = gD_tail - Mold  # [..., Kt, H]
+    term = alpha[..., None, None, :] * truncated_kernel(
+        Q[..., :, None, :] - D0[..., None, :, :], kernel, tol)  # [..., Kt, Kh, H]
+    msg = jnp.min(Hs[..., :, None, :] + term, axis=-3)  # [..., Kh, H]
+    vmin = jnp.min(msg, axis=-2)
+    return msg - vmin[..., None, :], vmin
 
 
 def _shift_down(v):
@@ -128,7 +153,7 @@ def _shift_up(v):
 
 
 class _Skewed:
-    """Skewed, column-padded problem data (one zero column each side)."""
+    """Skewed, t-leading, column-padded problem data."""
 
     def __init__(self, theta, D0, Q, alphas, kernel, tol):
         K, H, W = theta.shape
@@ -136,42 +161,61 @@ class _Skewed:
         self.K, self.H, self.W = K, H, W
         self.T = H + W - 1
         self.kernel, self.tol = kernel, tol
-        pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(1, 1)])
-        sk = lambda a: pad(skew(a, W))
-        self.theta = sk(theta)  # [K, H, T+2]
-        self.D0 = sk(D0)
-        self.Q = sk(Q)  # [4, K, H, T+2]
-        self.alphas = sk(alphas)  # [4, H, T+2]
-        valid = jnp.stack(
-            [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(4)], 0)
-        self.vmask = sk(valid)  # [4, H, T+2]
+        self.theta = _tlead(theta, W)  # [T+2, K, H]
+        self.D0 = _tlead(D0, W)
+        # per-group problem data: [T+2, 2, K, H] / [T+2, 2, H]
+        self.QA = _tlead(jnp.stack([Q[d] for d in GROUP_A], 0), W)
+        self.QB = _tlead(jnp.stack([Q[d] for d in GROUP_B], 0), W)
+        self.aA = _tlead(jnp.stack([alphas[d] for d in GROUP_A], 0), W)
+        self.aB = _tlead(jnp.stack([alphas[d] for d in GROUP_B], 0), W)
+        valid = {d: geometry.valid_mask(H, W, d, dtype=dtype) for d in range(4)}
+        self.vA = _tlead(jnp.stack([valid[d] for d in GROUP_A], 0), W)
+        self.vB = _tlead(jnp.stack([valid[d] for d in GROUP_B], 0), W)
         y = jnp.arange(H)[:, None]
         t = jnp.arange(self.T)[None, :]
         x = t - y
-        self.pix = pad(((x >= 0) & (x < W)).astype(dtype))  # [H, T+2]
-        self.gamma = sk(raster_gamma(H, W, dtype))  # [H, T+2]
+        pix = ((x >= 0) & (x < W)).astype(dtype)  # [H, T]
+        pix = jnp.pad(pix, [(0, 0), (1, 1)])
+        self.pix = jnp.moveaxis(pix, -1, 0)  # [T+2, H]
+        self.gamma = _tlead(raster_gamma(H, W, dtype), W)  # [T+2, H]
 
     def col(self, a, c):
-        return lax.dynamic_index_in_dim(a, c, axis=-1, keepdims=False)
+        return lax.dynamic_index_in_dim(a, c, axis=0, keepdims=False)
 
 
-def _beliefs_col(sk: _Skewed, M, c):
+def _set_col(M, c, value):
+    return lax.dynamic_update_index_in_dim(M, value, c, axis=0)
+
+
+def messages_to_groups(messages: jax.Array, W: int):
+    """[4, K, H, W] -> (MA, MB) t-leading [T+2, 2, K, H] slabs."""
+    MA = _tlead(jnp.stack([messages[d] for d in GROUP_A], 0), W)
+    MB = _tlead(jnp.stack([messages[d] for d in GROUP_B], 0), W)
+    return MA, MB
+
+
+def groups_to_messages(MA: jax.Array, MB: jax.Array, W: int) -> jax.Array:
+    """(MA, MB) -> [4, K, H, W] in the trws.py direction order."""
+    A = _tlead_inv(MA, W)  # [2, K, H, W]
+    B = _tlead_inv(MB, W)
+    return jnp.stack([B[0], A[0], B[1], A[1]], 0)  # LT, RT, UP, DN
+
+
+def _beliefs_col(sk: _Skewed, MA, MB, c, Ac=None, Bc=None):
     """Beliefs of padded column c: theta + all 8 incident buffers. [K, H]."""
-    D = sk.col(sk.theta, c)
-    for d in range(4):
-        D = D + sk.col(M[d], c)  # in-buffers at p
-    # out-buffers at the neighbors (masked by neighbor existence = vmask of
-    # the *stored* edge at the neighbor, which is zero-kept by construction)
-    D = D + sk.col(M[RT], c - 1)                 # left nbr's E(l, RT), tail p
-    D = D + _shift_down(sk.col(M[DN], c - 1))    # up nbr's E(u, DN), tail p
-    D = D + sk.col(M[LT], c + 1)                 # right nbr's E(r, LT), tail p
-    D = D + _shift_up(sk.col(M[UP], c + 1))      # down nbr's E(d, UP), tail p
+    if Ac is None:
+        Ac = sk.col(MA, c)
+    if Bc is None:
+        Bc = sk.col(MB, c)
+    Acm1 = sk.col(MA, c - 1)
+    Bcp1 = sk.col(MB, c + 1)
+    D = sk.col(sk.theta, c) + Ac[0] + Ac[1] + Bc[0] + Bc[1]
+    # out-buffers at the neighbors (zero-kept at nonexistent neighbors by
+    # construction): RT at the left nbr (same skew row), DN at the up nbr
+    # (skew row y-1 -> shift down), LT at the right nbr, UP at the down nbr.
+    D = D + Acm1[0] + _shift_down(Acm1[1])
+    D = D + Bcp1[0] + _shift_up(Bcp1[1])
     return D
-
-
-def _set_col(M, d, c, value):
-    return M[:d] + (lax.dynamic_update_index_in_dim(M[d], value, c, axis=-1),
-                    ) + M[d + 1:]
 
 
 def solve_wavefront(
@@ -187,10 +231,11 @@ def solve_wavefront(
     messages: jax.Array | None = None,  # [4, K, H, W] warm start
     check_every: int = 1,
     use_pallas: bool | None = None,
+    unroll: int = 1,
 ) -> TRWSResult:
     """Raster-order TRW-S via anti-diagonal wavefronts; drop-in for trws.solve.
 
-    With use_pallas (auto on TPU) the per-sweep scan runs as the fused kernel
+    With use_pallas (auto on TPU) the per-sweep pass runs as the fused kernel
     of ops/wavefront_kernel; otherwise as a lax.scan over skewed columns.
     """
     K, H, W = unary.shape
@@ -204,98 +249,67 @@ def solve_wavefront(
 
     if messages is None:
         messages = jnp.zeros((4, K, H, W), dtype)
-    Mp = jnp.pad(skew(messages, W), [(0, 0), (0, 0), (0, 0), (1, 1)])
-    M0 = (Mp[0], Mp[1], Mp[2], Mp[3])
+    M0 = messages_to_groups(messages, W)
 
     ktol = (kernel, tol)
 
     def fwd_col(M, t):
+        MA, MB = M
         c = t + 1  # padded column index
-        D = _beliefs_col(sk, M, c)
+        Ac = sk.col(MA, c)
+        Bcp1 = sk.col(MB, c + 1)
+        D = _beliefs_col(sk, MA, MB, c, Ac=Ac)
         gD = sk.col(sk.gamma, c)[None, :] * D
 
-        Qc = [sk.col(sk.Q[d], c) for d in range(4)]
-        D0c = sk.col(sk.D0, c)
-        ac = [sk.col(sk.alphas[d], c) for d in range(4)]
-        vc = [sk.col(sk.vmask[d], c) for d in range(4)]
+        # E(p, RT)/E(p, DN): head-sends at this column (group A)
+        mh, _ = _send_head(gD[None], Ac, sk.col(sk.QA, c),
+                           sk.col(sk.D0, c)[None], sk.col(sk.aA, c), *ktol)
+        vh = sk.col(sk.vA, c)
+        MA = _set_col(MA, c, jnp.where(vh[:, None, :] > 0, mh, Ac))
 
-        # E(p, RT)/E(p, DN): head-sends at this column
-        mRT, _ = _send_head(gD, sk.col(M[RT], c), Qc[RT], D0c, ac[RT], *ktol)
-        newRT = jnp.where(vc[RT][None, :] > 0, mRT, sk.col(M[RT], c))
-        mDN, _ = _send_head(gD, sk.col(M[DN], c), Qc[DN], D0c, ac[DN], *ktol)
-        newDN = jnp.where(vc[DN][None, :] > 0, mDN, sk.col(M[DN], c))
-        M = _set_col(M, RT, c, newRT)
-        M = _set_col(M, DN, c, newDN)
-
-        # E(rn, LT): tail-send into the right neighbor (same skew row, col c+1)
-        Qn = sk.col(sk.Q[LT], c + 1)
-        D0n = sk.col(sk.D0, c + 1)
-        an = sk.col(sk.alphas[LT], c + 1)
-        vn = sk.col(sk.vmask[LT], c + 1)
-        mLT, _ = _send_tail(gD, sk.col(M[LT], c + 1), Qn, D0n, an, *ktol)
-        newLT = jnp.where(vn[None, :] > 0, mLT, sk.col(M[LT], c + 1))
-        M = _set_col(M, LT, c + 1, newLT)
-
-        # E(dn, UP): tail-send into the down neighbor (skew row y+1, col c+1)
-        Qn = sk.col(sk.Q[UP], c + 1)
-        D0n = sk.col(sk.D0, c + 1)
-        an = sk.col(sk.alphas[UP], c + 1)
-        vn = sk.col(sk.vmask[UP], c + 1)
-        mUP, _ = _send_tail(_shift_down(gD), sk.col(M[UP], c + 1), Qn, D0n,
-                            an, *ktol)
-        newUP = jnp.where(vn[None, :] > 0, mUP, sk.col(M[UP], c + 1))
-        M = _set_col(M, UP, c + 1, newUP)
-        return M, None
+        # E(rn, LT)/E(dn, UP): tail-sends into col c+1 (group B; the right
+        # nbr shares the skew row, the down nbr is skew row y+1 -> shift down)
+        gDt = jnp.stack([gD, _shift_down(gD)], 0)
+        mt, _ = _send_tail(gDt, Bcp1, sk.col(sk.QB, c + 1),
+                           sk.col(sk.D0, c + 1)[None], sk.col(sk.aB, c + 1),
+                           *ktol)
+        vt = sk.col(sk.vB, c + 1)
+        MB = _set_col(MB, c + 1, jnp.where(vt[:, None, :] > 0, mt, Bcp1))
+        return (MA, MB), None
 
     def bwd_col(M, t):
+        MA, MB = M
         c = t + 1
-        D = _beliefs_col(sk, M, c)
+        Bc = sk.col(MB, c)
+        Acm1 = sk.col(MA, c - 1)
+        D = _beliefs_col(sk, MA, MB, c, Bc=Bc)
         pixc = sk.col(sk.pix, c)
         vminD = jnp.min(D, axis=0)
         lb = jnp.sum(jnp.where(pixc > 0, vminD, 0.0), dtype=acc_t)
         gD = sk.col(sk.gamma, c)[None, :] * (D - vminD[None, :])
 
-        Qc = [sk.col(sk.Q[d], c) for d in range(4)]
-        D0c = sk.col(sk.D0, c)
-        ac = [sk.col(sk.alphas[d], c) for d in range(4)]
-        vc = [sk.col(sk.vmask[d], c) for d in range(4)]
+        # E(p, LT)/E(p, UP): head-sends at this column (group B)
+        mh, vminh = _send_head(gD[None], Bc, sk.col(sk.QB, c),
+                               sk.col(sk.D0, c)[None], sk.col(sk.aB, c),
+                               *ktol)
+        vh = sk.col(sk.vB, c)
+        lb += jnp.sum(jnp.where(vh > 0, vminh, 0.0), dtype=acc_t)
+        MB = _set_col(MB, c, jnp.where(vh[:, None, :] > 0, mh, Bc))
 
-        # E(p, LT)/E(p, UP): head-sends at this column (earlier endpoints)
-        mLT, vminL = _send_head(gD, sk.col(M[LT], c), Qc[LT], D0c, ac[LT],
-                                *ktol)
-        newLT = jnp.where(vc[LT][None, :] > 0, mLT, sk.col(M[LT], c))
-        lb += jnp.sum(jnp.where(vc[LT] > 0, vminL, 0.0), dtype=acc_t)
-        mUP, vminU = _send_head(gD, sk.col(M[UP], c), Qc[UP], D0c, ac[UP],
-                                *ktol)
-        newUP = jnp.where(vc[UP][None, :] > 0, mUP, sk.col(M[UP], c))
-        lb += jnp.sum(jnp.where(vc[UP] > 0, vminU, 0.0), dtype=acc_t)
-        M = _set_col(M, LT, c, newLT)
-        M = _set_col(M, UP, c, newUP)
-
-        # E(ln, RT): tail-send into the left neighbor (same row, col c-1)
-        Qn = sk.col(sk.Q[RT], c - 1)
-        D0n = sk.col(sk.D0, c - 1)
-        an = sk.col(sk.alphas[RT], c - 1)
-        vn = sk.col(sk.vmask[RT], c - 1)
-        mRT, vminR = _send_tail(gD, sk.col(M[RT], c - 1), Qn, D0n, an, *ktol)
-        newRT = jnp.where(vn[None, :] > 0, mRT, sk.col(M[RT], c - 1))
-        lb += jnp.sum(jnp.where(vn > 0, vminR, 0.0), dtype=acc_t)
-        M = _set_col(M, RT, c - 1, newRT)
-
-        # E(un, DN): tail-send into the up neighbor (skew row y-1, col c-1)
-        Qn = sk.col(sk.Q[DN], c - 1)
-        D0n = sk.col(sk.D0, c - 1)
-        an = sk.col(sk.alphas[DN], c - 1)
-        vn = sk.col(sk.vmask[DN], c - 1)
-        mDN, vminD2 = _send_tail(_shift_up(gD), sk.col(M[DN], c - 1), Qn, D0n,
-                                 an, *ktol)
-        newDN = jnp.where(vn[None, :] > 0, mDN, sk.col(M[DN], c - 1))
-        lb += jnp.sum(jnp.where(vn > 0, vminD2, 0.0), dtype=acc_t)
-        M = _set_col(M, DN, c - 1, newDN)
-        return M, lb
+        # E(ln, RT)/E(un, DN): tail-sends into col c-1 (group A; the left
+        # nbr shares the skew row, the up nbr is skew row y-1 -> shift up)
+        gDt = jnp.stack([gD, _shift_up(gD)], 0)
+        mt, vmint = _send_tail(gDt, Acm1, sk.col(sk.QA, c - 1),
+                               sk.col(sk.D0, c - 1)[None],
+                               sk.col(sk.aA, c - 1), *ktol)
+        vt = sk.col(sk.vA, c - 1)
+        lb += jnp.sum(jnp.where(vt > 0, vmint, 0.0), dtype=acc_t)
+        MA = _set_col(MA, c - 1, jnp.where(vt[:, None, :] > 0, mt, Acm1))
+        return (MA, MB), lb
 
     def decode(M):
         """Greedy conditioned decode in raster order + exact energy."""
+        MA, MB = M
 
         def step(carry, t):
             sol_prev, E = carry  # sol of padded column c-1, [H] int32
@@ -303,45 +317,42 @@ def solve_wavefront(
             th = sk.col(sk.theta, c)
             D0c = sk.col(sk.D0, c)
             pixc = sk.col(sk.pix, c)
+            QB_c = sk.col(sk.QB, c)
+            aB_c = sk.col(sk.aB, c)
+            vB_c = sk.col(sk.vB, c)
+            QA_p = sk.col(sk.QA, c - 1)
+            aA_p = sk.col(sk.aA, c - 1)
+            vA_p = sk.col(sk.vA, c - 1)
+            D0p = sk.col(sk.D0, c - 1)
 
             # conditioned terms from earlier neighbors (left, up)
             sol_l = sol_prev  # left nbr shares the skew row
             sol_u = _shift_down(sol_prev)  # up nbr is skew row y-1
             Db = th
             # E(p, LT): V[sol_l, k_p] at p
-            Q_sel = jnp.take_along_axis(
-                sk.col(sk.Q[LT], c), sol_l[None, :], axis=0)[0]
-            Db = Db + sk.col(sk.alphas[LT], c)[None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * (
-                    sk.col(sk.vmask[LT], c)[None, :])
+            Q_sel = jnp.take_along_axis(QB_c[0], sol_l[None, :], axis=0)[0]
+            Db = Db + aB_c[0][None, :] * truncated_kernel(
+                Q_sel[None, :] - D0c, kernel, tol) * vB_c[0][None, :]
             # E(p, UP): V[sol_u, k_p] at p
-            Q_sel = jnp.take_along_axis(
-                sk.col(sk.Q[UP], c), sol_u[None, :], axis=0)[0]
-            Db = Db + sk.col(sk.alphas[UP], c)[None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * (
-                    sk.col(sk.vmask[UP], c)[None, :])
+            Q_sel = jnp.take_along_axis(QB_c[1], sol_u[None, :], axis=0)[0]
+            Db = Db + aB_c[1][None, :] * truncated_kernel(
+                Q_sel[None, :] - D0c, kernel, tol) * vB_c[1][None, :]
             # E(ln, RT): V[k_p, sol_l] at the left neighbor (col c-1)
-            D0_sel = jnp.take_along_axis(
-                sk.col(sk.D0, c - 1), sol_l[None, :], axis=0)[0]
-            tterm = sk.col(sk.alphas[RT], c - 1)[None, :] * truncated_kernel(
-                sk.col(sk.Q[RT], c - 1) - D0_sel[None, :], kernel, tol) * (
-                    sk.col(sk.vmask[RT], c - 1)[None, :])
-            Db = Db + tterm
+            D0_sel = jnp.take_along_axis(D0p, sol_l[None, :], axis=0)[0]
+            Db = Db + aA_p[0][None, :] * truncated_kernel(
+                QA_p[0] - D0_sel[None, :], kernel, tol) * vA_p[0][None, :]
             # E(un, DN): V[k_p, sol_u] at the up neighbor — evaluate at the
             # neighbor's own skew row (y-1) of column c-1, where sol_prev
             # already holds its label, then shift down to row y.
-            Q_un = sk.col(sk.Q[DN], c - 1)
-            a_un = sk.col(sk.alphas[DN], c - 1)
-            v_un = sk.col(sk.vmask[DN], c - 1)
-            D0_un_sel = jnp.take_along_axis(
-                sk.col(sk.D0, c - 1), sol_prev[None, :], axis=0)[0]
-            t_un = a_un[None, :] * truncated_kernel(
-                Q_un - D0_un_sel[None, :], kernel, tol) * v_un[None, :]
+            D0_un_sel = jnp.take_along_axis(D0p, sol_prev[None, :], axis=0)[0]
+            t_un = aA_p[1][None, :] * truncated_kernel(
+                QA_p[1] - D0_un_sel[None, :], kernel, tol) * vA_p[1][None, :]
             Db = Db + _shift_down(t_un)
 
             # forward messages on later edges
-            Di = Db + sk.col(M[RT], c) + sk.col(M[DN], c)
-            Di = Di + sk.col(M[LT], c + 1) + _shift_up(sk.col(M[UP], c + 1))
+            Ac = sk.col(MA, c)
+            Bn = sk.col(MB, c + 1)
+            Di = Db + Ac[0] + Ac[1] + Bn[0] + _shift_up(Bn[1])
 
             sol = jnp.argmin(Di, axis=0).astype(jnp.int32)
             E = E + jnp.sum(
@@ -358,18 +369,21 @@ def solve_wavefront(
         labels = unskew(sols_sk, W)
         return labels, E
 
+    sweep_fn = None
     if use_pallas:
-        from stereo_tpu.ops import wavefront_kernel as wfk
+        try:
+            from stereo_tpu.ops import wavefront_kernel as wfk
 
-        sweep_fn = wfk.make_sweep(sk, M0)
-    else:
-        sweep_fn = None
+            sweep_fn = wfk.make_sweep(sk)
+        except ImportError:  # fused kernel not built yet: scan path is exact
+            sweep_fn = None
 
     def sweep(M, _):
         if sweep_fn is not None:
             return sweep_fn(M)
-        M, _ = lax.scan(fwd_col, M, jnp.arange(T))
-        M, lbs = lax.scan(bwd_col, M, jnp.arange(T - 1, -1, -1))
+        M, _ = lax.scan(fwd_col, M, jnp.arange(T), unroll=unroll)
+        M, lbs = lax.scan(bwd_col, M, jnp.arange(T - 1, -1, -1),
+                          unroll=unroll)
         return M, jnp.sum(lbs, dtype=acc_t)
 
     def one_check(M):
@@ -393,6 +407,5 @@ def solve_wavefront(
     state0 = (M0, jnp.zeros((), jnp.int32), zero, zero,
               jnp.zeros((H, W), jnp.int32))
     M, iters, energy, lb, labels = lax.while_loop(cond, body, state0)
-    Mout = jnp.stack(M, axis=0)[:, :, :, 1:-1]  # drop pad cols
     return TRWSResult(labels, energy, lb, iters,
-                      unskew(Mout, W))
+                      groups_to_messages(M[0], M[1], W))

@@ -46,6 +46,33 @@ _PAIRS = {
 }
 
 
+def load_ground_truth(name: str, root: str | None = None,
+                      dtype=np.float32) -> np.ndarray | None:
+    """Ground-truth disparity map of the reference view, or None if absent.
+
+    The reference downloads GT at runtime (download_stereo.m) — impossible in
+    a zero-egress environment, so GT is optional: place ``disp2.png`` (the
+    Middlebury GT image for view 2, values = disparity_factor * disparity,
+    0 = unknown) under ``<root>/<name>/`` or point the ``STEREO_TPU_GT_DIR``
+    env var at a directory with ``<name>/disp2.png``.  Returns [H, W] float
+    disparities in dataset units with NaN at unknown pixels.
+    """
+    if name not in _PAIRS:
+        raise KeyError(f"Unknown bundled pair {name!r}; have {sorted(_PAIRS)}")
+    roots = [r for r in (root, os.environ.get("STEREO_TPU_GT_DIR"), DATA_ROOT)
+             if r]
+    for r in roots:
+        path = os.path.join(r, name, "disp2.png")
+        if os.path.exists(path):
+            from PIL import Image
+
+            raw = np.asarray(Image.open(path).convert("I")).astype(dtype)
+            gt = raw / _PAIRS[name]["disparity_factor"]
+            gt[raw == 0] = np.nan  # Middlebury: 0 marks unknown
+            return gt
+    return None
+
+
 def load_pair(name: str, root: str | None = None, dtype=np.float32) -> StereoPair:
     if name not in _PAIRS:
         raise KeyError(f"Unknown bundled pair {name!r}; have {sorted(_PAIRS)}")
