@@ -180,16 +180,14 @@ int felzenszwalb(const float* im, int H, int W, float sigma, float k,
 int connect_modes(const float* modes, int H, int W, float h_r, int min_region,
                   uint32_t* labels_out) {
   const int N = H * W;
-  const float r2 = h_r * h_r;
-  auto dist2 = [&](int p, int q) {
-    float d0 = modes[3 * p] - modes[3 * q];
-    float d1 = modes[3 * p + 1] - modes[3 * q + 1];
-    float d2 = modes[3 * p + 2] - modes[3 * q + 2];
-    return d0 * d0 + d1 * d1 + d2 * d2;
-  };
+  // EDISON's TransitiveClosure merge radius is HALF the range bandwidth:
+  // rR2 = (h_r)^2 * 0.25 (msImageProcessor.cpp:743)
+  const float r2 = 0.25f * h_r * h_r;
 
   UnionFind uf(N);
-  // 8-connected union where modes fall in the same range window
+  // 8-connected union where the filtered modes agree to within EDISON's
+  // flood-fill threshold: |delta| < 1.0 PER CHANNEL (LUV_treshold = 1.0,
+  // msImageProcessor.cpp:107, Fill :2027)
   const int offs[4][2] = {{0, 1}, {1, 0}, {1, 1}, {1, -1}};
   for (int y = 0; y < H; y++) {
     for (int x = 0; x < W; x++) {
@@ -198,13 +196,17 @@ int connect_modes(const float* modes, int H, int W, float h_r, int min_region,
         int ny = y + o[0], nx = x + o[1];
         if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
         int q = ny * W + nx;
-        if (dist2(p, q) < r2) uf.join(p, q);
+        bool close = true;
+        for (int c = 0; c < 3; c++)
+          close &= std::fabs(modes[3 * p + c] - modes[3 * q + c]) < 1.0f;
+        if (close) uf.join(p, q);
       }
     }
   }
 
-  // transitive fusion: merge adjacent regions whose mean modes are close,
-  // repeating until stable (EDISON FuseRegions analog)
+  // transitive closure: merge adjacent regions whose point-count-weighted
+  // mean modes are within (h_r/2)^2, repeating until stable (the
+  // TransitiveClosure loop of Segment, msImageProcessor.cpp:741-752)
   for (int pass = 0; pass < 10; pass++) {
     // accumulate region means
     std::map<int32_t, std::array<double, 4>> acc;  // sum LUV + count

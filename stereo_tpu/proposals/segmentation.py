@@ -30,6 +30,9 @@ from stereo_tpu import native
 
 # --------------------------------------------------------------------- LUV
 
+# EDISON's exact conversion constants (seg_ms/msImageProcessor.h:61-73):
+# whitepoint (Xn, Yn, Zn) = (0.9505, 1, 1.0887) with u'/v' hardcoded to
+# higher precision than the whitepoint derivation.
 _RGB2XYZ = np.array(
     [
         [0.4125, 0.3576, 0.1804],
@@ -38,13 +41,20 @@ _RGB2XYZ = np.array(
     ],
     dtype=np.float64,
 )
-_XN, _YN, _ZN = 0.9505, 1.0, 1.0888
-_UN = 4.0 * _XN / (_XN + 15.0 * _YN + 3.0 * _ZN)
-_VN = 9.0 * _YN / (_XN + 15.0 * _YN + 3.0 * _ZN)
+_YN = 1.0
+_UN = 0.19784977571475
+_VN = 0.46834507665248
 
 
 def rgb_to_luv(im: jax.Array) -> jax.Array:
-    """[H, W, 3] RGB in [0, 255] -> CIE LUV (EDISON's conversion constants)."""
+    """[H, W, 3] RGB in [0, 255] -> CIE LUV.
+
+    Matches EDISON's RGBtoLUV (seg_ms/msImageProcessor.cpp:835-875): XYZ from
+    0..255 RGB, L* from y/(255*Yn) with the 903.3 linear branch below
+    Lt = 0.008856, u*/v* against the hardcoded u'/v' whitepoint.  The
+    denom == 0 branch (EDISON pins u' = 4, v' = 0.6) is irrelevant: it only
+    fires for pure black where L = 0 makes u* = v* = 0 either way.
+    """
     rgb = im / 255.0
     xyz = jnp.einsum("hwc,dc->hwd", rgb, jnp.asarray(_RGB2XYZ, im.dtype))
     X, Y, Z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
@@ -66,85 +76,124 @@ def rgb_to_luv(im: jax.Array) -> jax.Array:
 # ---------------------------------------------------------- mean-shift filter
 
 
-@functools.partial(jax.jit, static_argnames=("h_s", "max_iters"))
+_MS_EPSILON = 0.01  # EDISON's mode-convergence threshold (ms.h:106)
+_MS_LIMIT = 100     # EDISON's per-pixel iteration cap (ms.h:111)
+
+
+@functools.partial(jax.jit, static_argnames=("h_s", "h_r", "max_iters"))
 def mean_shift_filter(
     luv: jax.Array,  # [H, W, 3]
     h_s: int,
     h_r: float,
-    max_iters: int = 20,
-    eps: float = 0.01,
+    max_iters: int = _MS_LIMIT,
 ) -> jax.Array:
-    """Filter each pixel's joint feature (x, y, L, u, v) to its mode.
+    """Filter each pixel's joint feature (x, y, L, u, v) to its mode —
+    EDISON's exact non-optimized lattice filter (NewNonOptimizedFilter,
+    seg_ms/msImageProcessor.cpp:4305-4630), run for all pixels in lockstep
+    with per-pixel freezing instead of EDISON's serial per-pixel loop:
 
-    Uniform kernels: the window is all pixels within [-h_s, h_s]^2 of the
-    *current spatial position* whose LUV distance to the current range value
-    is below h_r.  Static window size; positions are tracked continuously and
-    the neighborhood is gathered around the rounded position each step.
+    - joint space scaled by (h_s, h_r); uniform kernel = spatial distance^2
+      < 1 AND range distance^2 < 1, both strict, tested separately;
+    - the L-channel difference counts 4x when the current (scaled) L exceeds
+      80/h_r (the ``hiLTr`` half-bandwidth quirk, :4484-4487);
+    - convergence when the mean-shift vector's magnitude^2 drops below
+      EPSILON = 0.01 — in *scaled* units for the first test, *unscaled*
+      units thereafter (:4609-4613, faithfully including the asymmetry) —
+      or after LIMIT = 100 steps; the final vector is applied once more
+      after the loop exits (:4619-4620).
+
+    The neighborhood is gathered around the rounded current position with a
+    static window of radius ceil(h_s + 0.5) pixels, a superset of EDISON's
+    3^3 bucket search at cell width h_s.
     """
     H, W, _ = luv.shape
     dtype = luv.dtype
-    ys0 = jnp.arange(H, dtype=dtype)[:, None] * jnp.ones((1, W), dtype)
-    xs0 = jnp.ones((H, 1), dtype) * jnp.arange(W, dtype=dtype)[None, :]
+    sS = float(h_s)
+    sR = float(h_r)
+    ys0 = jnp.arange(H, dtype=dtype)[:, None] * jnp.ones((1, W), dtype) / sS
+    xs0 = jnp.ones((H, 1), dtype) * jnp.arange(W, dtype=dtype)[None, :] / sS
+    sval = luv / sR  # scaled range data, the gather source
+    hiLTr = 80.0 / sR
 
-    # neighborhood offsets (static)
-    offs = [(dy, dx) for dy in range(-h_s, h_s + 1) for dx in range(-h_s, h_s + 1)]
+    R = int(np.ceil(sS + 0.5))
+    # |pixel - round(pos)| <= |pixel - pos| + 0.5 < h_s + 0.5 bounds the
+    # offsets that can ever pass the dsp < 1 test
+    offs = [(dy, dx) for dy in range(-R, R + 1) for dx in range(-R, R + 1)
+            if dy * dy + dx * dx <= (sS + 0.5) ** 2]
     offs_np = np.array(offs, dtype=np.int32)  # [M, 2]
-    M = len(offs)
-    r2 = h_r * h_r
-    s2 = float(h_s) * float(h_s)
 
-    def step(state):
-        it, pos_y, pos_x, val, shift = state
-        cy = jnp.clip(jnp.round(pos_y).astype(jnp.int32), 0, H - 1)
-        cx = jnp.clip(jnp.round(pos_x).astype(jnp.int32), 0, W - 1)
-
+    def ms_vector(pos_y, pos_x, val):
+        """EDISON's LatticeMSVector: mean of in-window points minus yk."""
+        cy = jnp.clip(jnp.round(pos_y * sS).astype(jnp.int32), 0, H - 1)
+        cx = jnp.clip(jnp.round(pos_x * sS).astype(jnp.int32), 0, W - 1)
         acc_y = jnp.zeros((H, W), dtype)
         acc_x = jnp.zeros((H, W), dtype)
         acc_v = jnp.zeros((H, W, 3), dtype)
         acc_n = jnp.zeros((H, W), dtype)
-        for m in range(M):
+        quad = jnp.where(val[..., 0] > hiLTr, 4.0, 1.0).astype(dtype)
+        for m in range(len(offs_np)):
             dy, dx = int(offs_np[m, 0]), int(offs_np[m, 1])
             ny = cy + dy
             nx = cx + dx
             inb = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
             nyc = jnp.clip(ny, 0, H - 1)
             nxc = jnp.clip(nx, 0, W - 1)
-            nval = luv[nyc, nxc]  # [H, W, 3]
-            nyf = nyc.astype(dtype)
-            nxf = nxc.astype(dtype)
+            nval = sval[nyc, nxc]  # [H, W, 3] scaled
+            nyf = nyc.astype(dtype) / sS
+            nxf = nxc.astype(dtype) / sS
             dsp = (nyf - pos_y) ** 2 + (nxf - pos_x) ** 2
-            dr = jnp.sum((nval - val) ** 2, axis=-1)
-            w = (inb & (dsp <= s2) & (dr <= r2)).astype(dtype)
+            dL = nval[..., 0] - val[..., 0]
+            dr = (quad * dL * dL
+                  + (nval[..., 1] - val[..., 1]) ** 2
+                  + (nval[..., 2] - val[..., 2]) ** 2)
+            w = (inb & (dsp < 1.0) & (dr < 1.0)).astype(dtype)
             acc_y = acc_y + w * nyf
             acc_x = acc_x + w * nxf
             acc_v = acc_v + w[..., None] * nval
             acc_n = acc_n + w
+        has = acc_n > 0
         n = jnp.maximum(acc_n, 1.0)
-        new_y = acc_y / n
-        new_x = acc_x / n
-        new_v = acc_v / n[..., None]
-        shift = (
-            (new_y - pos_y) ** 2
-            + (new_x - pos_x) ** 2
-            + jnp.sum((new_v - val) ** 2, axis=-1)
-        )
-        return it + 1, new_y, new_x, new_v, shift
+        mh_y = jnp.where(has, acc_y / n - pos_y, 0.0)
+        mh_x = jnp.where(has, acc_x / n - pos_x, 0.0)
+        mh_v = jnp.where(has[..., None], acc_v / n[..., None] - val, 0.0)
+        return mh_y, mh_x, mh_v
+
+    mh_y0, mh_x0, mh_v0 = ms_vector(ys0, xs0, sval)
+    # first magnitude test is in scaled units (:4520-4523)
+    mv0 = mh_y0 ** 2 + mh_x0 ** 2 + jnp.sum(mh_v0 ** 2, axis=-1)
 
     def cond(state):
-        it, _, _, _, shift = state
-        return jnp.logical_and(it < max_iters, jnp.max(shift) > eps * eps)
+        it, _, _, _, _, _, _, mv = state
+        return jnp.logical_and(it < max_iters, jnp.max(mv) >= _MS_EPSILON)
 
-    init = (jnp.zeros((), jnp.int32), ys0, xs0, luv,
-            jnp.full((H, W), jnp.inf, dtype))
-    _, _, _, val, _ = jax.lax.while_loop(cond, step, init)
-    return val
+    def step(state):
+        it, py, px, val, my, mx, mv_, mv = state
+        active = mv >= _MS_EPSILON
+        py = jnp.where(active, py + my, py)
+        px = jnp.where(active, px + mx, px)
+        val = jnp.where(active[..., None], val + mv_, val)
+        ny_, nx_, nv_ = ms_vector(py, px, val)
+        my = jnp.where(active, ny_, my)
+        mx = jnp.where(active, nx_, mx)
+        mv_ = jnp.where(active[..., None], nv_, mv_)
+        # subsequent tests use unscaled magnitudes (:4609-4613)
+        mv_new = ((my ** 2 + mx ** 2) * (sS * sS)
+                  + jnp.sum(mv_ ** 2, axis=-1) * (sR * sR))
+        mv = jnp.where(active, mv_new, mv)
+        return it + 1, py, px, val, my, mx, mv_, mv
+
+    state = (jnp.ones((), jnp.int32), ys0, xs0, sval, mh_y0, mh_x0, mh_v0,
+             mv0)
+    _, _, _, val, _, _, mh_v, _ = jax.lax.while_loop(cond, step, state)
+    # the final shift is applied on every exit path (:4619-4620)
+    return (val + mh_v) * sR
 
 
 # ------------------------------------------------------------ public wrappers
 
 
 def mean_shift(im_rgb, h_s: int, h_r: float, min_region: int,
-               max_iters: int = 20) -> np.ndarray:
+               max_iters: int = _MS_LIMIT) -> np.ndarray:
     """EDISON-style segmentation -> uint32 labels [H, W], 1-based.
 
     The vgg_segment_ms(A, h_s, h_r, min_sz) equivalent.

@@ -411,6 +411,205 @@ def improve(labels, U0, U1, tails, heads, E00, E01, E10, E11,
     return y, best_e
 
 
+class _ParityUF:
+    """Union-find with edge parities: x_i == x_root(i) XOR parity(i)."""
+
+    def __init__(self, n):
+        self.parent = np.arange(n)
+        self.parity = np.zeros(n, np.int64)
+
+    def find(self, i):
+        root, p = i, 0
+        while self.parent[root] != root:
+            p ^= self.parity[root]
+            root = self.parent[root]
+        # path compression (second pass)
+        j, q = i, p
+        while self.parent[j] != j:
+            nj = self.parent[j]
+            nq = q ^ self.parity[j]
+            self.parent[j] = root
+            self.parity[j] = q
+            j, q = nj, nq
+        return int(root), int(p)
+
+    def union(self, j, i, rel):
+        """Impose x_j == x_i XOR rel.  Returns False if already related."""
+        rj, pj = self.find(j)
+        ri, pi = self.find(i)
+        if rj == ri:
+            return False
+        # x_rj = x_j ^ pj = (x_i ^ rel) ^ pj = x_ri ^ (pi ^ rel ^ pj)
+        self.parent[rj] = ri
+        self.parity[rj] = pi ^ rel ^ pj
+        return True
+
+
+def _reduce_problem(U0, U1, tails, heads, E, uf, fixed):
+    """Canonicalize the original energy under a set of fix/contract
+    constraints: substitute x_i -> x_root ^ parity, fold fixed roots and
+    self-loop edges into unaries/the constant.
+
+    Returns (roots [list of active original root ids], U0r, U1r, tails_r,
+    heads_r, E_r [4, M'], const) with endpoints indexing into ``roots``.
+    """
+    n = len(U0)
+    root = np.empty(n, np.int64)
+    par = np.empty(n, np.int64)
+    for i in range(n):
+        root[i], par[i] = uf.find(i)
+    active = sorted({int(r) for r in root if fixed[r] < 0})
+    idx = {r: k for k, r in enumerate(active)}
+    na = len(active)
+    U0r = np.zeros(na)
+    U1r = np.zeros(na)
+    const = 0.0
+
+    for i in range(n):
+        r, p = root[i], par[i]
+        u0, u1 = (U0[i], U1[i]) if p == 0 else (U1[i], U0[i])
+        if fixed[r] >= 0:
+            const += u1 if fixed[r] == 1 else u0
+        else:
+            U0r[idx[r]] += u0
+            U1r[idx[r]] += u1
+
+    t_r, h_r = [], []
+    E_r = [[], [], [], []]
+    for e in range(len(tails)):
+        a, b = tails[e], heads[e]
+        ra, pa = root[a], par[a]
+        rb, pb = root[b], par[b]
+        # table over (x_ra, x_rb): t'(u, v) = t(u ^ pa, v ^ pb)
+        t = np.array([[E[0][e], E[1][e]], [E[2][e], E[3][e]]])
+        if pa:
+            t = t[::-1]
+        if pb:
+            t = t[:, ::-1]
+        fa = fixed[ra] if fixed[ra] >= 0 else None
+        fb = fixed[rb] if fixed[rb] >= 0 else None
+        if fa is not None and fb is not None:
+            const += t[fa, fb]
+        elif fa is not None:
+            U0r[idx[rb]] += t[fa, 0]
+            U1r[idx[rb]] += t[fa, 1]
+        elif fb is not None:
+            U0r[idx[ra]] += t[0, fb]
+            U1r[idx[ra]] += t[1, fb]
+        elif ra == rb:  # contracted onto one variable: diagonal
+            U0r[idx[ra]] += t[0, 0]
+            U1r[idx[ra]] += t[1, 1]
+        else:
+            t_r.append(idx[ra])
+            h_r.append(idx[rb])
+            for k, v in enumerate((t[0, 0], t[0, 1], t[1, 0], t[1, 1])):
+                E_r[k].append(v)
+    return (active, U0r, U1r, np.asarray(t_r, np.int32),
+            np.asarray(h_r, np.int32),
+            [np.asarray(x) for x in E_r], const)
+
+
+def probe(U0, U1, tails, heads, E00, E01, E10, E11, weak: bool = True,
+          max_rounds: int = 2):
+    """QPBO-P (probing) — the native solver's ``Probe`` surface
+    (cpp/QPBO-v1.3.src/QPBO_extra.cpp:708; Rother et al., "Optimizing Binary
+    MRFs via Extended Roof Duality", CVPR 2007 §3.2).  Unused by the live
+    pipeline (options.contract = 0, vgg_qpbo.m), provided for solver-API
+    completeness on small problems — each probe is a fresh maxflow solve.
+
+    For every still-unlabelled variable i, solve the energy with x_i pinned
+    to 0 and to 1.  If a variable j is persistently labelled under both pins:
+      * same label alpha under both  ->  fix x_j = alpha;
+      * label equal to the pin value ->  contract x_j := x_i;
+      * label opposite the pin value ->  contract x_j := NOT x_i.
+    Each rule preserves at least one global minimizer; rules are applied
+    *sequentially* (the energy is re-reduced after every change) so the
+    guarantees compose.  Iterates to a fixpoint, at most ``max_rounds``
+    passes.
+
+    Returns (labels, rep, flip, n_fixed):
+      labels [N] in {-1, 0, 1} — value for fixed variables, -1 otherwise;
+      rep    [N] — representative variable id (the ``mapping`` analog):
+                   x_i == x_rep[i] XOR flip[i] in some global optimum;
+      flip   [N] in {0, 1};
+      n_fixed — number of variables with labels >= 0.
+    """
+    U0 = np.ascontiguousarray(U0, np.float64).ravel()
+    U1 = np.ascontiguousarray(U1, np.float64).ravel()
+    tails = np.ascontiguousarray(tails, np.int64).ravel()
+    heads = np.ascontiguousarray(heads, np.int64).ravel()
+    E = [np.ascontiguousarray(x, np.float64).ravel()
+         for x in (E00, E01, E10, E11)]
+    n = len(U0)
+    uf = _ParityUF(n)
+    fixed = np.full(n, -1, np.int64)
+    scale = max(float(np.abs(U0).max(initial=0.0)),
+                float(np.abs(U1).max(initial=0.0)),
+                max((float(np.abs(x).max()) for x in E if x.size),
+                    default=0.0), 1.0)
+    BIG = 1e7 * scale * max(n, 1)
+
+    def fix_from_labels(roots, labels):
+        changed = False
+        for k, lab in enumerate(labels):
+            if lab >= 0 and fixed[roots[k]] < 0:
+                fixed[roots[k]] = int(lab)
+                changed = True
+        return changed
+
+    for _ in range(max_rounds):
+        roots, u0, u1, tr, hr, er, _ = _reduce_problem(
+            U0, U1, tails, heads, E, uf, fixed)
+        if not roots:
+            break
+        labels, _, _, _ = solve(u0, u1, tr, hr, *er, weak=weak)
+        changed = fix_from_labels(roots, labels)
+
+        for i_root in list(roots):
+            if fixed[i_root] >= 0:
+                continue
+            r, p = uf.find(i_root)
+            if r != i_root:  # merged away by an earlier probe this round
+                continue
+            roots, u0, u1, tr, hr, er, _ = _reduce_problem(
+                U0, U1, tails, heads, E, uf, fixed)
+            k_i = roots.index(i_root)
+            probes = []
+            for pin in (0, 1):
+                u0p, u1p = u0.copy(), u1.copy()
+                if pin == 0:
+                    u1p[k_i] += BIG
+                else:
+                    u0p[k_i] += BIG
+                lab, _, _, _ = solve(u0p, u1p, tr, hr, *er, weak=weak)
+                probes.append(lab)
+            L0, L1 = probes
+            for k, r_j in enumerate(roots):
+                if k == k_i or L0[k] < 0 or L1[k] < 0:
+                    continue
+                if L0[k] == L1[k]:
+                    if fixed[r_j] < 0:
+                        fixed[r_j] = int(L0[k])
+                        changed = True
+                else:  # L0 != L1: x_j tracks (or anti-tracks) x_i
+                    rel = 0 if (L0[k] == 0 and L1[k] == 1) else 1
+                    if uf.union(r_j, i_root, rel):
+                        changed = True
+        if not changed:
+            break
+
+    labels_out = np.full(n, -1, np.int64)
+    rep = np.empty(n, np.int64)
+    flip = np.empty(n, np.int64)
+    for i in range(n):
+        r, p = uf.find(i)
+        rep[i] = r
+        flip[i] = p
+        if fixed[r] >= 0:
+            labels_out[i] = fixed[r] ^ p
+    return labels_out, rep, flip, int((labels_out >= 0).sum())
+
+
 def labeling_energy(lab, U0, U1, tails, heads, E00, E01, E10, E11):
     """Energy of a full 0/1 labeling under the same inputs."""
     lab = np.asarray(lab)

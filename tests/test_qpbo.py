@@ -345,3 +345,70 @@ def test_improve_with_triples_never_increases_and_respects_init(seed):
     y4, e4 = qpbo_host.improve_with_triples(labels, *inst, tr, rounds=4,
                                             seed=seed, init=init)
     assert e4 <= e_init + 1e-9
+
+
+# ---------------------------------------------------------------- QPBO-P
+def _probe_consistent_min(inst, labels, rep, flip):
+    """Minimum energy over labelings consistent with probe's constraints."""
+    n = len(inst[0])
+    best = np.inf
+    for bits in itertools.product([0, 1], repeat=n):
+        y = np.array(bits)
+        if (labels >= 0).any() and not (y[labels >= 0] == labels[labels >= 0]).all():
+            continue
+        if not (y == y[rep] ^ flip).all():
+            continue
+        best = min(best, qpbo_host.labeling_energy(y, *inst))
+    return best
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_probe_preserves_global_minimum(seed):
+    """Probing (QPBO-P) fixes/contracts variables while keeping at least one
+    global minimizer feasible — the guarantee of QPBO_extra.cpp:708's Probe."""
+    rng = np.random.default_rng(1800 + seed)
+    inst, _, _, _ = _unlabelled_instance(rng)
+    labels, rep, flip, n_fixed = qpbo_host.probe(*inst)
+    best, _ = brute_force(*inst)
+    assert _probe_consistent_min(inst, labels, rep, flip) == pytest.approx(
+        best, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_probe_extends_solve(seed):
+    """Probe fixes at least every node plain QPBO labels, and across the fuzz
+    battery it strictly simplifies some frustrated instance (extra fixed
+    variables or contractions)."""
+    rng = np.random.default_rng(1900 + seed)
+    inst, _, labels_solve, _ = _unlabelled_instance(rng)
+    labels, rep, flip, n_fixed = qpbo_host.probe(*inst)
+    solved = labels_solve >= 0
+    assert (labels[solved] == labels_solve[solved]).all()
+    assert n_fixed >= solved.sum()
+
+
+def test_probe_simplifies_some_frustrated_instance():
+    """At least one fuzzed frustrated instance gains constraints beyond the
+    plain solve (otherwise probing would be a no-op everywhere)."""
+    gained = False
+    for seed in range(12):
+        rng = np.random.default_rng(2000 + seed)
+        inst, _, labels_solve, _ = _unlabelled_instance(rng)
+        labels, rep, flip, n_fixed = qpbo_host.probe(*inst)
+        n = len(labels)
+        if n_fixed > (labels_solve >= 0).sum() or (rep != np.arange(n)).any():
+            gained = True
+            break
+    assert gained
+
+
+def test_probe_fully_labeled_passthrough():
+    """On a submodular instance everything is already labelled; probe returns
+    the optimal labeling with identity mapping."""
+    rng = np.random.default_rng(42)
+    inst = random_instance(rng, 7, 12, submodular=True)
+    labels, rep, flip, n_fixed = qpbo_host.probe(*inst)
+    best, best_lab = brute_force(*inst)
+    assert n_fixed == 7
+    assert qpbo_host.labeling_energy(labels, *inst) == pytest.approx(
+        best, abs=1e-9)
