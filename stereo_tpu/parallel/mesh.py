@@ -74,14 +74,25 @@ def sharded_solve(
     tol,
     maxiter: int = 1000,
     max_relgap: float = 1e-4,
+    messages: jax.Array | None = None,
+    check_every: int = 1,
 ):
     """TRW-S solve with fields sharded over the mesh's 'x' axis.
 
     Batched inputs (leading stereo-pair axis) are vmapped over 'batch'.
-    Returns a TRWSResult with device-sharded members.
+    ``messages`` warm-starts the dual state (e.g. carried across pooled
+    chunks); ``check_every`` amortizes the decode.  Returns a TRWSResult
+    with device-sharded members.
     """
     batched = unary.ndim == 4
     specs = field_specs(batched)
+    x_size = int(mesh.devices.shape[-1])
+    W = int(unary.shape[-1])
+    if W % x_size != 0:
+        raise ValueError(
+            f"image width {W} not divisible by the mesh 'x' axis ({x_size}); "
+            f"pick an 'x' size dividing W (zero-padding would break the "
+            f"sharded == single-device bitwise invariant)")
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -90,25 +101,36 @@ def sharded_solve(
     positions = put(positions, specs["positions"])
     nbr_positions = put(nbr_positions, specs["nbr_positions"])
     alphas = put(alphas, specs["alphas"])
+    msg_spec = P(*(("batch",) if batched else ()), None, None, None, "x")
+    if messages is not None:
+        messages = put(messages, msg_spec)
 
-    def single(u, d0, q, al):
+    def single(u, d0, q, al, msg):
         # use_pallas=False: the fused phase kernel is a pallas_call with no
         # SPMD partitioning rule, so under a >1-device mesh XLA would either
         # error or silently replicate the sharded operands.  The pure-XLA path
         # partitions cleanly (shifts -> CollectivePermute halo exchange).
         return trws.solve(u, d0, q, al, kernel=kernel, tol=tol,
                           maxiter=maxiter, max_relgap=max_relgap,
+                          messages=msg, check_every=check_every,
                           use_pallas=False)
 
-    fn = jax.vmap(single) if batched else single
+    base = jax.vmap(single) if batched else single
+    if messages is None:
+        fn = lambda u, d0, q, al: base(u, d0, q, al, None)  # noqa: E731
+        if batched:
+            fn = jax.vmap(lambda u, d0, q, al: single(u, d0, q, al, None))
+    else:
+        fn = base
     out_specs = trws.TRWSResult(
         labels=NamedSharding(mesh, specs["labels"]),
         energy=NamedSharding(mesh, P(*(("batch",) if batched else ()))),
         lower_bound=NamedSharding(mesh, P(*(("batch",) if batched else ()))),
         iterations=NamedSharding(mesh, P(*(("batch",) if batched else ()))),
-        messages=NamedSharding(mesh, P(*(("batch",) if batched else ()),
-                                       None, None, None, "x")),
+        messages=NamedSharding(mesh, msg_spec),
     )
     with mesh:
         jitted = jax.jit(fn, out_shardings=out_specs)
-        return jitted(unary, positions, nbr_positions, alphas)
+        if messages is None:
+            return jitted(unary, positions, nbr_positions, alphas)
+        return jitted(unary, positions, nbr_positions, alphas, messages)

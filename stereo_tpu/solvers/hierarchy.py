@@ -102,3 +102,39 @@ def solve_hierarchical(
         max_relgap=max_relgap, messages=messages, check_every=check_every,
         use_pallas=use_pallas,
     )
+
+
+def wavefront_warm_start(
+    unary, D0, Q, alphas, *, kernel, tol, levels: int = 3,
+    coarse_sweeps: int = 200, use_pallas=None,
+):
+    """Coarse-to-fine warm start for the *wavefront* (raster-order) solver:
+    solve the coarsened pyramid with wavefront sweeps and return upsampled
+    fine-level messages [4, K, H, W].
+
+    The raster schedule already mixes along whole rows/columns per sweep, so
+    it needs far fewer sweeps than the checkerboard — but each fine sweep is
+    expensive (T sequential diagonals); a few cheap quarter-size coarse
+    sweeps replace most of them.  Like solve_hierarchical, the result is only
+    an initializer: the fine solve keeps exact TRW-S semantics and bounds.
+    """
+    from stereo_tpu.solvers import wavefront
+
+    pyramid = [(unary, D0, Q, alphas)]
+    for _ in range(levels - 1):
+        u, d0, q, al = pyramid[-1]
+        if min(u.shape[-2:]) < 16:
+            break
+        pyramid.append(coarsen(u, d0, q, al))
+
+    messages = None
+    for lvl in range(len(pyramid) - 1, 0, -1):
+        u, d0, q, al = pyramid[lvl]
+        res = wavefront.solve_wavefront(
+            u, d0, q, al, kernel=kernel, tol=tol, maxiter=coarse_sweeps,
+            max_relgap=1e-12, messages=messages, check_every=coarse_sweeps,
+            use_pallas=use_pallas,
+        )
+        target_hw = pyramid[lvl - 1][0].shape[-2:]
+        messages = upsample_messages(res.messages, target_hw)
+    return messages

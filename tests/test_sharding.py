@@ -104,3 +104,73 @@ def test_model_level_batched_fusion():
     # and the fused assignments carry the decoded labels
     for dm in models:
         assert np.isfinite(dm.energy())
+
+
+def _pool_models(n, H=16, W=24):
+    from stereo_tpu.models.ncc import DispMapNCC
+    from stereo_tpu import geometry as geom
+
+    models, props = [], []
+    for seed in range(1, n + 1):
+        r = np.random.default_rng(seed)
+        im1 = r.uniform(0, 255, (H, W, 3))
+        im0 = np.roll(im1, 3, axis=1) + r.normal(0, 2, (H, W, 3))
+        dm = DispMapNCC([im0, im1], np.arange(0, 7), kernel=1,
+                        unary_weight=40.0, tol=8.0)
+        models.append(dm)
+        props.append([geom.fronto_parallel(H, W, float(d), dm.dtype)
+                      for d in (0, 3, 6)])
+    return models, props
+
+
+def test_pool_per_pair_convergence_and_eviction():
+    """N = 3 pairs stream through B = 2 slots; pairs converge at their own
+    iteration counts and every result matches an individual solve run to the
+    same stopping rule."""
+    from stereo_tpu.parallel import batch as batch_mod
+
+    models, props = _pool_models(3)
+    singles = []
+    for dm, pr in zip(models, props):
+        unary, D0, Q, alphas, _ = batch_mod.batched_problem([dm], [pr])
+        r = trws.solve(unary[0], D0[0], Q[0], alphas[0], kernel=1,
+                       tol=dm.tol, maxiter=200, max_relgap=1e-4,
+                       check_every=5)
+        singles.append(r)
+
+    m = mesh_mod.make_mesh(8, batch=2)
+    out = batch_mod.simultaneous_fusion_pool(
+        models, props, m, maxiter=200, max_relgap=1e-4, check_every=5)
+    assert len(out) == 3
+    for res, ref in zip(out, singles):
+        assert res["status"] in ("converged", "maxiter")
+        assert res["energy"] == pytest.approx(float(ref.energy), rel=1e-6)
+        assert res["lower_bound"] == pytest.approx(float(ref.lower_bound),
+                                                   rel=1e-6)
+        assert res["iterations"] >= int(ref.iterations)
+        # chunked restart checks every 5 sweeps like the reference run
+        assert res["iterations"] - int(ref.iterations) <= 5
+    for dm in models:
+        assert np.isfinite(dm.energy())
+
+
+def test_pool_failure_graceful(monkeypatch):
+    """A persistently-failing backend ends the pool gracefully: models keep
+    their incumbents, unfinished pairs report status 'failed'
+    (ojw_stereo_optim.m:116-127 behavior)."""
+    from stereo_tpu.parallel import batch as batch_mod
+
+    models, props = _pool_models(2)
+    before = [np.asarray(dm.assignment).copy() for dm in models]
+
+    def boom(*a, **k):
+        raise RuntimeError("injected backend drop")
+
+    monkeypatch.setattr(batch_mod.mesh_mod, "sharded_solve", boom)
+    m = mesh_mod.make_mesh(8, batch=2)
+    out = batch_mod.simultaneous_fusion_pool(
+        models, props, m, maxiter=50, max_relgap=1e-4, check_every=5,
+        max_retries=1)
+    assert all(r["status"] == "failed" for r in out)
+    for dm, b in zip(models, before):
+        np.testing.assert_array_equal(np.asarray(dm.assignment), b)

@@ -27,13 +27,31 @@ def main():
     ap.add_argument("--chunk", type=int, default=25)
     ap.add_argument("--max-sweeps", type=int, default=800)
     ap.add_argument("--target-e", type=float, default=38919.911)
+    ap.add_argument("--levels", type=int, default=1,
+                    help="coarse-to-fine warm-start pyramid levels (1 = off)")
+    ap.add_argument("--coarse-sweeps", type=int, default=200)
     ap.add_argument("--out", default="/tmp/wavefront_race.json")
     args = ap.parse_args()
 
-    dm = build_model(args.pair, "float32", seed=0)
-    segplns = dm.segpln(seed=0)
-    unary, D0, Q, alphas = build_problem(dm, segplns)
-    kernel, tol = dm.smoothness_kernel, dm.tol
+    import os
+
+    import numpy as np
+
+    cache = f"/tmp/wavefront_problem_{args.pair}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        unary, D0, Q, alphas = (jax.numpy.asarray(z[k])
+                                for k in ("unary", "D0", "Q", "alphas"))
+        kernel, tol = int(z["kernel"]), float(z["tol"])
+        print(f"loaded problem from {cache}", flush=True)
+    else:
+        dm = build_model(args.pair, "float32", seed=0)
+        segplns = dm.segpln(seed=0)
+        unary, D0, Q, alphas = build_problem(dm, segplns)
+        kernel, tol = dm.smoothness_kernel, dm.tol
+        np.savez(cache, unary=np.asarray(unary), D0=np.asarray(D0),
+                 Q=np.asarray(Q), alphas=np.asarray(alphas), kernel=kernel,
+                 tol=tol)
     K, H, W = unary.shape
     print(f"problem: K={K} H={H} W={W} kernel={kernel} tol={tol} "
           f"backend={jax.default_backend()}", flush=True)
@@ -57,6 +75,22 @@ def main():
     total = 0
     t_accum = 0.0
     messages = None
+    if args.levels > 1:
+        from stereo_tpu.solvers import hierarchy
+
+        # compile the coarse shapes off the clock, then time the warm start
+        hierarchy.wavefront_warm_start(
+            unary, D0, Q, alphas, kernel=kernel, tol=tol, levels=args.levels,
+            coarse_sweeps=2)
+        t0 = time.perf_counter()
+        messages = hierarchy.wavefront_warm_start(
+            unary, D0, Q, alphas, kernel=kernel, tol=tol, levels=args.levels,
+            coarse_sweeps=args.coarse_sweeps)
+        jax.block_until_ready(messages)
+        t_accum = time.perf_counter() - t0
+        print(f"warm start (levels={args.levels}, "
+              f"{args.coarse_sweeps} coarse sweeps): {t_accum:.2f}s",
+              flush=True)
     while total < args.max_sweeps:
         t0 = time.perf_counter()
         res = run(args.chunk, messages)
