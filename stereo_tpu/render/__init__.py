@@ -15,3 +15,7 @@ TPU-native equivalents of the bundled IBR pipeline:
 """
 
 from stereo_tpu.render.genview import genview, stereo_views, interp_views  # noqa: F401
+from stereo_tpu.render.occlrender import (  # noqa: F401
+    OcclRenderOptions,
+    render_occl,
+)
