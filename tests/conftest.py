@@ -27,3 +27,16 @@ jax.config.update("jax_enable_x64", True)
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap in-process compile-cache growth: the full suite compiles hundreds
+    of distinct programs and XLA:CPU has segfaulted deep into a late-suite
+    compile with all of them still resident (threads show
+    backend_compile_and_load; test passes in isolation)."""
+    yield
+    jax.clear_caches()
