@@ -1,17 +1,29 @@
 """Benchmark entry point for the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 Headline metric: binary fusion moves/second on the teddy NCC workload
 (example_ncc configuration — the reference's per-move cost is one
 rd_mex/QPBO solve plus MATLAB-side table construction).  ``vs_baseline``
 compares against this machine's CPU roof-duality path (our native C++ QPBO —
-the rd_mex equivalent — solving the *identical* fusion problems), i.e. the
-reference-architecture cost with the MATLAB overhead already discounted; the
-north star is >= 10x (BASELINE.md).
+the rd_mex equivalent, BK-style tree-reuse maxflow — solving the *identical*
+fusion problems), i.e. the reference-architecture cost with the MATLAB
+overhead already discounted; the north star is >= 10x (BASELINE.md).
+
+``extras`` carries the remaining BASELINE.md metrics, measured on the
+example_simultaneous workload (baby2 SegPln, K=15):
+
+  - checkerboard TRW-S sweep cost (ms) and throughput (label-MPixel/s =
+    H*W*K*sweeps/s) of the fused Pallas phase kernel;
+  - simultaneous-fusion race: trws_host (our serial O(K) C++ TRW-S, the
+    trws_mex stand-in) run to the reference stopping rule (maxiter 3000,
+    relgap 1e-5), then the wavefront (raster-order) TPU solver timed to the
+    host's final energy — wall-clock speedup at equal-or-better energy;
+  - energy ratio reached (tpu_e / host_e, <= 1 means matched or beat).
 
 Robustness: the axon TPU tunnel occasionally drops; transient backend
-failures retry a few times before giving up.
+failures retry a few times before giving up.  Extras failures degrade to an
+"error" field instead of killing the headline metric.
 """
 
 import json
@@ -101,25 +113,110 @@ def run_bench(n_moves=24, warmup=2):
     }
 
 
+def run_extras(max_wavefront_sweeps=800, chunk=50):
+    """BASELINE.md's remaining metrics on the baby2 K=15 workload."""
+    import jax
+
+    from examples.run_global import build_model
+    from tools.measure_race import build_problem
+    from stereo_tpu.solvers import trws, trws_host, wavefront
+
+    dm = build_model("baby2", "float32", seed=0)
+    unary, D0, Q, alphas = build_problem(dm, dm.segpln(seed=0))
+    kernel, tol = dm.smoothness_kernel, dm.tol
+    K, H, W = unary.shape
+    out = {"workload": f"baby2 K={K} {H}x{W} kernel={kernel}"}
+
+    # --- checkerboard phase-kernel sweep throughput ----------------------
+    warm = trws.solve(unary, D0, Q, alphas, kernel=kernel, tol=tol,
+                      maxiter=50, max_relgap=0.0, check_every=50)
+    jax.block_until_ready(warm.energy)
+    n_sweeps = 500
+    t0 = time.perf_counter()
+    res = trws.solve(unary, D0, Q, alphas, kernel=kernel, tol=tol,
+                     maxiter=n_sweeps, max_relgap=0.0, check_every=n_sweeps,
+                     messages=warm.messages)
+    jax.block_until_ready(res.energy)
+    dt = time.perf_counter() - t0
+    out["checkerboard_sweep_ms"] = round(dt / n_sweeps * 1e3, 3)
+    out["trws_label_mpixel_s"] = round(H * W * K * n_sweeps / dt / 1e6, 1)
+
+    # --- host baseline: reference stopping rule --------------------------
+    theta, tails, heads, q_src, q_dst, al = trws_host.grid_to_edges(
+        np.asarray(unary), np.asarray(D0), np.asarray(Q), np.asarray(alphas))
+    order = trws_host.raster_order(H, W)
+    t0 = time.perf_counter()
+    _, e_host, lb_host, iters = trws_host.solve(
+        kernel, theta, tails, heads, q_src, q_dst, al, tol, order,
+        maxiter=3000, max_relgap=1e-5)
+    t_host = time.perf_counter() - t0
+    out["host_trws_s"] = round(t_host, 1)
+    out["host_trws_iters"] = iters
+    out["host_trws_energy"] = round(e_host, 3)
+
+    # --- wavefront race to the host's final energy -----------------------
+    def wf(messages, sweeps):
+        return wavefront.solve_wavefront(
+            unary, D0, Q, alphas, kernel=kernel, tol=tol, maxiter=sweeps,
+            max_relgap=0.0, messages=messages, check_every=sweeps)
+
+    wres = wf(None, chunk)  # compile both cold and warm-start shapes
+    jax.block_until_ready(wres.energy)
+    wres2 = wf(wres.messages, chunk)
+    jax.block_until_ready(wres2.energy)
+
+    M = None
+    t_tpu = 0.0
+    swept = 0
+    e_best = float("inf")
+    while swept < max_wavefront_sweeps and e_best > e_host:
+        t0 = time.perf_counter()
+        r = wf(M, chunk)
+        jax.block_until_ready(r.energy)
+        t_tpu += time.perf_counter() - t0
+        M = r.messages
+        swept += chunk
+        e_best = min(e_best, float(r.energy))
+    out["wavefront_sweep_ms"] = round(t_tpu / swept * 1e3, 2)
+    out["simultaneous_tpu_s"] = round(t_tpu, 1)
+    out["simultaneous_tpu_sweeps"] = swept
+    out["simultaneous_energy_ratio"] = round(e_best / e_host, 6)
+    out["simultaneous_speedup_vs_host"] = round(t_host / t_tpu, 2)
+    return out
+
+
 def main():
     last_err = None
+    result = None
     for attempt in range(3):
         try:
             result = run_bench()
-            print(json.dumps(result))
-            return 0
+            break
         except Exception as e:  # tunnel flakiness: retry
             last_err = e
             print(f"# bench attempt {attempt} failed: {e}", file=sys.stderr)
             time.sleep(20)
-    print(json.dumps({
-        "metric": "fusion_moves_per_sec_teddy_ncc",
-        "value": 0.0,
-        "unit": "moves/s",
-        "vs_baseline": 0.0,
-        "error": str(last_err),
-    }))
-    return 1
+    if result is None:
+        print(json.dumps({
+            "metric": "fusion_moves_per_sec_teddy_ncc",
+            "value": 0.0,
+            "unit": "moves/s",
+            "vs_baseline": 0.0,
+            "error": str(last_err),
+        }))
+        return 1
+    import os
+
+    if os.environ.get("BENCH_QUICK"):  # headline only (~2 min)
+        print(json.dumps(result))
+        return 0
+    try:
+        result["extras"] = run_extras()
+    except Exception as e:
+        print(f"# bench extras failed: {e}", file=sys.stderr)
+        result["extras"] = {"error": str(e)}
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
