@@ -31,10 +31,11 @@ def _kernel(tol_ref, gD_ref, gDs_ref, M_ref, Q_ref, D0_ref, alpha_ref,
     tol = tol_ref[0]
     D0 = D0_ref[...]  # [K, th, tw]
     gD = gD_ref[...]
+    cdtype = gD.dtype  # compute dtype; messages may be stored narrower (bf16)
     src_is_head = srcmask_ref[0]  # [th, tw]
     for d in range(4):
         alpha = alpha_ref[d]
-        M = M_ref[d]
+        M = M_ref[d].astype(cdtype)
         Q = Q_ref[d]
         HB = gD - M  # [K, th, tw]
         HA = gDs_ref[d] - M
@@ -49,7 +50,7 @@ def _kernel(tol_ref, gD_ref, gDs_ref, M_ref, Q_ref, D0_ref, alpha_ref,
         msg = jnp.where(src_is_head[None], accB, msgA)
         vmin = jnp.min(msg, axis=0)
         msg = (msg - vmin[None]) * valid_ref[d][None]
-        newM_ref[d] = msg
+        newM_ref[d] = msg.astype(newM_ref.dtype)
         vmin_ref[d] = vmin
 
 
@@ -99,7 +100,7 @@ def phase_messages_pallas(gD, gD_shifted, M, Q, D0, alphas, src_is_head,
         in_specs=[sm, k3, k4, k4, k4, k3, p3, p1, p3],
         out_specs=[k4, p3],
         out_shape=[
-            jax.ShapeDtypeStruct((4, K, Hp, Wp), gD.dtype),
+            jax.ShapeDtypeStruct((4, K, Hp, Wp), M.dtype),  # message storage
             jax.ShapeDtypeStruct((4, Hp, Wp), gD.dtype),
         ],
     )(jnp.asarray(tol, gD.dtype).reshape(1), gD, gD_shifted, M, Q, D0,

@@ -160,7 +160,7 @@ def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
         msg = jnp.where(src_is_head[None], msgB, msgA)
         vmin = jnp.min(msg, axis=0)
         msg = (msg - vmin[None]) * valid[d][None]
-        newM.append(msg)
+        newM.append(msg.astype(M.dtype))  # keep the storage dtype (bf16 opt)
         if accumulate_lb:
             lb_msgs = lb_msgs + jnp.sum(
                 jnp.where(valid[d] > 0, vmin, 0.0),
@@ -231,6 +231,7 @@ def solve(
     mode: str = "trws",  # "trws" | "bp" (Minimize_BP, minimize.cpp:118-221)
     use_pallas: bool | None = None,  # None = auto (Pallas on TPU)
     check_every: int = 1,  # decode + test the stopping rule every N iterations
+    message_dtype=None,  # e.g. jnp.bfloat16: narrow message *storage*
 ) -> TRWSResult:
     """Run checkerboard TRW-S (or plain loopy BP) to the reference's
     stopping rule.
@@ -239,6 +240,17 @@ def solve(
     mode="bp" reproduces Minimize_BP: gamma = 1, no lower bound (returned
     lower bound stays 0, so the relgap rule degenerates to maxiter —
     matching the reference, which only stops BP on iterations).
+
+    message_dtype narrows only the message *storage* (~4*K*H*W values);
+    every phase upcasts to the problem dtype for compute and
+    min-normalization, so the lower bound remains a valid dual value of the
+    (rounded) reparametrization — bounds and energies drift by the bf16
+    rounding of message entries but lb <= E always holds.  Oracle-exact
+    parity tests require the default (None = problem dtype).  Measured on
+    v5e (baby2 K=15): bf16 storage is a net LOSS (8.2 vs 7.2 ms/sweep) —
+    the fused phase kernel is compute/overhead-bound, not HBM-bound, and
+    the casts add VPU work; the knob exists for genuinely bandwidth-bound
+    regimes (larger K, multi-pair batches).
     """
     if mode not in ("trws", "bp"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -256,8 +268,11 @@ def solve(
         [geometry.valid_mask(H, W, d, dtype=dtype) for d in range(NUM_DIRS)], 0
     )
 
+    m_dtype = jnp.dtype(message_dtype) if message_dtype is not None else dtype
     if messages is None:
-        messages = jnp.zeros((NUM_DIRS, K, H, W), dtype)
+        messages = jnp.zeros((NUM_DIRS, K, H, W), m_dtype)
+    elif messages.dtype != m_dtype:
+        messages = messages.astype(m_dtype)
 
     accumulate_lb = mode == "trws"
 

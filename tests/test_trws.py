@@ -166,3 +166,38 @@ def test_check_every_matches_per_iteration_schedule():
     assert float(b.energy) == pytest.approx(float(a.energy), rel=1e-12)
     assert float(b.lower_bound) == pytest.approx(float(a.lower_bound), rel=1e-12)
     np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+
+
+@pytest.mark.parametrize("kernel", [1, 2])
+def test_bf16_message_storage_drift_bounded(kernel):
+    """Narrow (bfloat16) message *storage*: bounds stay valid (lb <= E, lb a
+    true dual value), energies drift only by message rounding.  Exact parity
+    is not expected — that's the f32 default's contract."""
+    rng = np.random.default_rng(11)
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, 8, 9, 5, kernel=kernel)
+    tol = 0.8
+    f32 = trws.solve(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(D0, jnp.float32),
+        jnp.asarray(Q, jnp.float32), jnp.asarray(alphas, jnp.float32),
+        kernel=kernel, tol=tol, maxiter=20, max_relgap=0.0)
+    b16 = trws.solve(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(D0, jnp.float32),
+        jnp.asarray(Q, jnp.float32), jnp.asarray(alphas, jnp.float32),
+        kernel=kernel, tol=tol, maxiter=20, max_relgap=0.0,
+        message_dtype=jnp.bfloat16)
+    assert b16.messages.dtype == jnp.bfloat16
+    assert float(b16.lower_bound) <= float(b16.energy) + 1e-6
+    # the bf16 lb is a valid dual value, so it cannot exceed the optimum;
+    # the f32 run's energy upper-bounds the optimum
+    assert float(b16.lower_bound) <= float(f32.energy) + 1e-6
+    # drift stays at rounding scale, not solver-divergence scale
+    assert float(b16.energy) == pytest.approx(float(f32.energy), rel=0.03)
+    assert float(b16.lower_bound) == pytest.approx(float(f32.lower_bound),
+                                                   rel=0.03)
+    # warm-starting from bf16 messages round-trips
+    cont = trws.solve(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(D0, jnp.float32),
+        jnp.asarray(Q, jnp.float32), jnp.asarray(alphas, jnp.float32),
+        kernel=kernel, tol=tol, maxiter=5, max_relgap=0.0,
+        messages=b16.messages, message_dtype=jnp.bfloat16)
+    assert float(cont.lower_bound) >= float(b16.lower_bound) - 1e-4
