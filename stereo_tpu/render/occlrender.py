@@ -122,8 +122,8 @@ def gen_cliques(IA, VA, V, Kocc):
     V:  [2*tp, N] approximate visibility (False = occluded by an old-surface
     point) — used for the mean when a point has >2 occluders.
 
-    Returns (U [tp, 2], pairs, triples) where pairs is a list of
-    (pixel, view, label, e_occl, e_vis) — the clique against visnode
+    Returns (U [tp, 2], pairs, triples) where pairs is a dict of equal-length
+    arrays {pixel, view, label, e_occl, e_vis} — the clique against visnode
     (pixel, label, view): pixel==label & visnode==0 -> e_occl,
     visnode==1 -> e_vis — and triples is a list of
     (pixel, label, v1, v2, table4) with table4 = costs at
@@ -163,16 +163,19 @@ def gen_cliques(IA, VA, V, Kocc):
         np.add.at(U, (pix[m0], lab[m0]), u_all[m0])
 
     # --- 1 occluder: pairwise with that view's visnode ----------------
-    pairs = []
+    pr_pix, pr_view, pr_lab, pr_occl, pr_vis = [], [], [], [], []
     m1 = n_occ == 1
     if m1.any():
         views = np.argmin(VA, axis=1)  # the single occluded view
         mean_vis = masked_mean(VA)
         e_occl = total_cost(mean_vis, VA)
         e_vis = total_cost(mean_all)
-        for p in np.nonzero(m1)[0]:
-            pairs.append((int(pix[p]), int(views[p]), int(lab[p]),
-                          float(e_occl[p]), float(e_vis[p])))
+        p1 = np.nonzero(m1)[0]
+        pr_pix.append(pix[p1])
+        pr_view.append(views[p1])
+        pr_lab.append(lab[p1])
+        pr_occl.append(e_occl[p1])
+        pr_vis.append(e_vis[p1])
 
     # --- 2 occluders: triple with both views' visnodes -----------------
     triples = []
@@ -200,13 +203,24 @@ def gen_cliques(IA, VA, V, Kocc):
     if mm.any():
         mean_apx = masked_mean(V)
         costs = _ssd_trunc(np.moveaxis(IA, 2, 1), mean_apx[:, None, :], Kocc)
-        for p in np.nonzero(mm)[0]:
-            for b in range(N):
-                if VA[p, b]:
-                    U[pix[p], lab[p]] += costs[p, b]
-                else:
-                    pairs.append((int(pix[p]), b, int(lab[p]),
-                                  Kocc + 1.0, float(costs[p, b])))
+        pu, bu = np.nonzero(mm[:, None] & VA)  # visible views -> unary
+        np.add.at(U, (pix[pu], lab[pu]), costs[pu, bu])
+        pe, be = np.nonzero(mm[:, None] & ~VA)  # occluded views -> edges
+        pr_pix.append(pix[pe])
+        pr_view.append(be)
+        pr_lab.append(lab[pe])
+        pr_occl.append(np.full(len(pe), Kocc + 1.0))
+        pr_vis.append(costs[pe, be])
+
+    cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs
+                          else np.zeros(0, dt))
+    pairs = {
+        "pixel": cat(pr_pix, np.int64),
+        "view": cat(pr_view, np.int64),
+        "label": cat(pr_lab, np.int64),
+        "e_occl": cat(pr_occl, np.float64),
+        "e_vis": cat(pr_vis, np.float64),
+    }
     return U, pairs, triples
 
 
@@ -276,7 +290,7 @@ def render_occl(images, P, disps, sz, options: OcclRenderOptions | None = None,
                            for p in proj], axis=2)  # [2tp, C, N]
             V = np.ones((2 * tp, N), bool)
             VA = np.ones((2 * tp, N), bool)
-            occl_edges = []  # (occluder_pixel, occluder_label, point, view)
+            oc_pt, oc_occ, oc_view = [], [], []  # occlusion-edge arrays
             for a, (_, u, v, z) in enumerate(proj):
                 prs = _occluding_pairs(u, v, z, tp, max_offsets=max_offsets)
                 if not len(prs):
@@ -285,55 +299,65 @@ def render_occl(images, P, disps, sz, options: OcclRenderOptions | None = None,
                 V[prs[old_occ, 1], a] = False
                 if opt.visibility:
                     VA[prs[:, 1], a] = False
-                    for occ, pt in prs:
-                        occl_edges.append((int(occ % tp), int(occ // tp),
-                                           int(pt), a))
+                    oc_pt.append(prs[:, 1])
+                    oc_occ.append(prs[:, 0])
+                    oc_view.append(np.full(len(prs), a))
 
             U, dpairs, dtriples = gen_cliques(IA, VA, V, Kocc)
 
             # visibility-node ids: one per VA-occluded (point, view)
-            vn_of = {}
-            if opt.visibility:
-                for pt, a in zip(*np.nonzero(~VA)):
-                    vn_of[(int(pt), int(a))] = tp + len(vn_of)
-            n_nodes = tp + len(vn_of)
+            vn_index = np.full((2 * tp, N), -1, np.int64)
+            occ_pts, occ_views = np.nonzero(~VA)
+            vn_index[occ_pts, occ_views] = tp + np.arange(len(occ_pts))
+            n_nodes = tp + len(occ_pts)
 
             U0 = np.zeros(n_nodes)
             U1 = np.zeros(n_nodes)
             U0[:tp] = U[:, 0]
             U1[:tp] = U[:, 1]
 
-            tails, heads = [], []
-            E = [[], [], [], []]  # E00, E01, E10, E11
+            # data cliques against visnodes: label 0 fills (E00, E01),
+            # label 1 fills (E10, E11)
+            dp = dpairs
+            d0 = dp["label"] == 0
+            d_tails = dp["pixel"]
+            d_heads = vn_index[dp["label"] * tp + dp["pixel"], dp["view"]]
+            dE00 = np.where(d0, dp["e_occl"], 0.0)
+            dE01 = np.where(d0, dp["e_vis"], 0.0)
+            dE10 = np.where(d0, 0.0, dp["e_occl"])
+            dE11 = np.where(d0, 0.0, dp["e_vis"])
 
-            def add_edge(a, b, e00, e01, e10, e11):
-                tails.append(a)
-                heads.append(b)
-                for lst, val in zip(E, (e00, e01, e10, e11)):
-                    lst.append(val)
-
-            # data cliques against visnodes
-            for pxl, view, label, e_occl, e_vis in dpairs:
-                s = vn_of[(label * tp + pxl, view)]
-                if label == 0:
-                    add_edge(pxl, s, e_occl, e_vis, 0.0, 0.0)
-                else:
-                    add_edge(pxl, s, 0.0, 0.0, e_occl, e_vis)
             triples = []
             for pxl, label, v1, v2, tab in dtriples:
-                s1 = vn_of[(label * tp + pxl, v1)]
-                s2 = vn_of[(label * tp + pxl, v2)]
+                s1 = vn_index[label * tp + pxl, v1]
+                s2 = vn_index[label * tp + pxl, v2]
                 full = np.zeros((2, 2, 2))
                 full[label] = np.asarray(tab).reshape(2, 2)
                 triples.append((pxl, s1, s2, full))
 
-            # Kinf occlusion edges (ibr_occlrender.m:178-184)
-            for occ_pix, occ_lab, pt, view in occl_edges:
-                s = vn_of[(pt, view)]
-                if occ_lab == 0:
-                    add_edge(occ_pix, s, 0.0, KINF, 0.0, 0.0)
-                else:
-                    add_edge(occ_pix, s, 0.0, 0.0, 0.0, KINF)
+            # Kinf occlusion edges (ibr_occlrender.m:178-184): occluder pixel
+            # selecting the occluding surface forbids "visible"
+            if oc_pt:
+                o_pt = np.concatenate(oc_pt)
+                o_occ = np.concatenate(oc_occ)
+                o_view = np.concatenate(oc_view)
+                o0 = o_occ < tp  # occluder from the old surface (label 0)
+                o_tails = o_occ % tp
+                o_heads = vn_index[o_pt, o_view]
+                oE01 = np.where(o0, KINF, 0.0)
+                oE11 = np.where(o0, 0.0, KINF)
+                zo = np.zeros(len(o_pt))
+            else:
+                o_tails = o_heads = np.zeros(0, np.int64)
+                oE01 = oE11 = zo = np.zeros(0)
+
+            tails = [d_tails, o_tails]
+            heads = [d_heads, o_heads]
+            E = [[np.zeros(len(d_tails)), zo],
+                 [dE01, oE01],
+                 [dE10, np.zeros(len(o_tails))],
+                 [dE11, oE11]]
+            E[0][0] = dE00
 
             # smoothness (+ texture modulation)
             dv = np.stack([D.ravel(), D_new.ravel()])  # [2, tp]
@@ -355,14 +379,15 @@ def render_occl(images, P, disps, sz, options: OcclRenderOptions | None = None,
                                         tex_thresh, tex_weight)
                 se = (1.0 + tcost) * se
             se *= lam
-            tails.extend(s_tails)
-            heads.extend(s_heads)
+            tails.append(s_tails)
+            heads.append(s_heads)
             for li in range(4):
-                E[li].extend(se[li])
+                E[li].append(se[li])
 
             labels, e, lb, n_unlab, *_ = qpbo_host.solve_with_triples(
-                U0, U1, np.asarray(tails), np.asarray(heads),
-                *[np.asarray(x) for x in E], triples, improve=opt.improve)
+                U0, U1, np.concatenate(tails), np.concatenate(heads),
+                *[np.concatenate(x) for x in E], triples,
+                improve=opt.improve)
             take = labels[:tp] == 1
             D = np.where(take.reshape(H, W), D_new, D)
             energies.append(float(e))

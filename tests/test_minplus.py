@@ -86,3 +86,49 @@ def test_fused_phase_kernel_matches_xla_phase():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_phase_kernel_bf16_messages():
+    """bf16 message storage through the fused kernel (interpret): output
+    dtype follows the storage, values match the f32 path computed from the
+    same (bf16-rounded) inputs to f32 roundoff, minima stay f32."""
+    import jax.numpy as jnp
+    from stereo_tpu import geometry
+    from stereo_tpu.ops.phase_kernel import phase_messages_pallas
+    from stereo_tpu.solvers import trws
+
+    rng = np.random.default_rng(5)
+    K, H, W = 4, 6, 9
+    f = jnp.float32
+    theta = jnp.asarray(rng.uniform(0, 4, (K, H, W)), f)
+    D0 = jnp.asarray(rng.normal(0, 2, (K, H, W)), f)
+    Q = jnp.asarray(rng.normal(0, 2, (4, K, H, W)), f)
+    alphas = jnp.asarray(rng.uniform(0.5, 2, (4, H, W)), f)
+    valid = jnp.stack(
+        [geometry.valid_mask(H, W, d, dtype=f) for d in range(4)], 0)
+    alphas = alphas * valid
+    gamma = trws.node_gamma(H, W, f)
+    cb = trws.checkerboard(H, W)
+    tol = 1.1
+    M16 = jnp.asarray(rng.normal(0, 1, (4, K, H, W)), jnp.bfloat16)
+
+    Dall = trws._node_beliefs(theta, M16)
+    gD = gamma[None] * Dall
+    gDs = jnp.stack([geometry.shift_from_neighbor(gD, d, 0.0)
+                     for d in range(4)], 0)
+    got16, vmins16 = phase_messages_pallas(
+        gD, gDs, M16, Q, D0, alphas, (cb == 0).astype(f), valid,
+        jnp.float32(tol), 1, interpret=True)
+    assert got16.dtype == jnp.bfloat16
+    assert vmins16.dtype == f
+
+    got32, vmins32 = phase_messages_pallas(
+        gD, gDs, M16.astype(f), Q, D0, alphas, (cb == 0).astype(f), valid,
+        jnp.float32(tol), 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(vmins16), np.asarray(vmins32),
+                               rtol=1e-6, atol=1e-6)
+    # the bf16 output is the f32 result rounded once to bf16
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32),
+        np.asarray(got32.astype(jnp.bfloat16), np.float32),
+        rtol=0, atol=0)

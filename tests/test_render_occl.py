@@ -91,8 +91,12 @@ def test_gen_cliques_matches_transcription(seed, n_views):
     V = VA | (rng.uniform(size=VA.shape) > 0.5)
     Kocc = 2700.0
 
-    U, pairs, triples = gen_cliques(IA, VA, V, Kocc)
+    U, dpairs, triples = gen_cliques(IA, VA, V, Kocc)
     U_o, pairs_o, triples_o = gen_cliques_oracle(IA, VA, V, Kocc)
+    pairs = [(int(p), int(v), int(l), float(eo), float(ev))
+             for p, v, l, eo, ev in zip(dpairs["pixel"], dpairs["view"],
+                                        dpairs["label"], dpairs["e_occl"],
+                                        dpairs["e_vis"])]
 
     np.testing.assert_allclose(U, U_o, rtol=1e-12, atol=1e-9)
     assert sorted(p[:3] for p in pairs) == sorted(p[:3] for p in pairs_o)
