@@ -1,0 +1,162 @@
+"""Banded wavefront TRW-S: exact parity with the sequential oracle under the
+banded total order.
+
+solvers/banded.py claims to BE sequential TRW-S (minimize.cpp:31-116) under
+the block-anti-diagonal ordering t = yb + xb; these tests pin energies,
+bounds AND labels per iteration against tests/oracles.SequentialTRWS run with
+that order, plus the solver invariants and the raster-degeneration identity
+(one block == solvers/wavefront.py bitwise).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_tpu.solvers import banded, wavefront
+
+import oracles
+
+
+def per_iteration_trace(theta, D0, Q, alphas, kernel, tol, Bh, Bw, n_iters):
+    out = []
+    msgs = None
+    for _ in range(n_iters):
+        res = banded.solve_banded(
+            jnp.asarray(theta), jnp.asarray(D0), jnp.asarray(Q),
+            jnp.asarray(alphas), kernel=kernel, tol=tol, Bh=Bh, Bw=Bw,
+            maxiter=1, max_relgap=0.0, messages=msgs, use_pallas=False,
+        )
+        msgs = res.messages
+        out.append((float(res.energy), float(res.lower_bound),
+                    np.asarray(res.labels)))
+    return out
+
+
+def test_order_is_valid():
+    """No two 4-neighbors share a position in the banded order."""
+    H, W, Bh, Bw = 7, 9, 3, 4
+    order = banded.banded_order(H, W, Bh, Bw)
+    pos = np.empty(H * W, int)
+    pos[order] = np.arange(H * W)
+    # t-values of same-step nodes must differ between any adjacent pair
+    t = np.empty(H * W, int)
+    for y in range(H):
+        for x in range(W):
+            t[y * W + x] = (y % Bh) + (x % Bw)
+    for y in range(H):
+        for x in range(W):
+            for dy, dx in ((0, 1), (1, 0)):
+                ny, nx = y + dy, x + dx
+                if ny < H and nx < W:
+                    assert t[y * W + x] != t[ny * W + nx]
+
+
+def test_cols_roundtrip():
+    rng = np.random.default_rng(0)
+    spec = banded.BandedSpec(7, 9, 3, 4)
+    a = jnp.asarray(rng.random((2, 3, 7, 9)))
+    cols = banded.to_cols(a, spec)
+    assert cols.shape == (spec.T + 2, 2, 3, spec.L)
+    back = np.asarray(banded.from_cols(cols, spec))
+    np.testing.assert_array_equal(back, np.asarray(a))
+
+
+def test_message_state_roundtrip():
+    rng = np.random.default_rng(1)
+    H, W, K = 6, 7, 3
+    spec = banded.BandedSpec(H, W, 3, 3)
+    theta = jnp.asarray(rng.random((K, H, W)), jnp.float32)
+    D0 = jnp.asarray(rng.random((K, H, W)), jnp.float32)
+    Q = jnp.asarray(rng.random((4, K, H, W)), jnp.float32)
+    alphas = jnp.asarray(rng.random((4, H, W)), jnp.float32)
+    bp = banded._BandedProblem(theta, D0, Q, alphas, spec, 1, 1.0)
+    # messages that are zero exactly where no directed edge exists
+    M = jnp.asarray(rng.random((4, K, H, W)), jnp.float32)
+    from stereo_tpu import geometry
+    valid = jnp.stack([geometry.valid_mask(H, W, d, dtype=jnp.float32)
+                       for d in range(4)], 0)
+    M = M * valid[:, None]
+    state = banded.messages_to_state(M, bp)
+    back = np.asarray(banded.state_to_messages(state, bp))
+    np.testing.assert_allclose(back, np.asarray(M), atol=1e-7)
+
+
+@pytest.mark.parametrize("kernel", [1, 2])
+@pytest.mark.parametrize("seed,H,W,K,Bh,Bw", [
+    (0, 6, 6, 3, 3, 3),      # even split, square blocks
+    (1, 7, 9, 3, 3, 4),      # padding in both axes, rectangular blocks
+    (2, 5, 8, 2, 2, 4),      # minimal Bh
+    (3, 6, 5, 4, 6, 5),      # single block == raster
+    (4, 9, 4, 3, 4, 4),      # Gy=3, Gx=1 (no x-seams)
+    (5, 4, 9, 3, 4, 3),      # Gy=1, Gx=3 (no y-seams)
+])
+def test_matches_sequential_banded_oracle(kernel, seed, H, W, K, Bh, Bw):
+    """Banded sweeps == sequential TRW-S under the banded order: energies,
+    bounds AND labels match the oracle to fp roundoff, every iteration."""
+    rng = np.random.default_rng(seed)
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K,
+                                                    kernel=kernel)
+    tol = 1.0
+
+    theta_flat, edges = oracles.grid_edges_for_oracle(theta, D0, Q, alphas)
+    order = banded.banded_order(H, W, Bh, Bw)
+    oracle = oracles.SequentialTRWS(theta_flat, edges, order, kernel, tol)
+
+    trace = per_iteration_trace(theta, D0, Q, alphas, kernel, tol, Bh, Bw, 4)
+    for it in range(4):
+        oE, oLB, oLab = oracle.iterate()
+        dE, dLB, dLab = trace[it]
+        assert dLB == pytest.approx(oLB, rel=1e-9, abs=1e-9), f"iter {it}"
+        assert dE == pytest.approx(oE, rel=1e-9, abs=1e-9), f"iter {it}"
+        np.testing.assert_array_equal(dLab.ravel(), oLab, f"iter {it}")
+
+
+def test_single_block_equals_wavefront():
+    """Bh = H, Bw = W has no seams: banded == raster wavefront exactly."""
+    rng = np.random.default_rng(11)
+    H, W, K = 6, 8, 3
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K)
+    args = (jnp.asarray(theta), jnp.asarray(D0), jnp.asarray(Q),
+            jnp.asarray(alphas))
+    b = banded.solve_banded(*args, kernel=1, tol=1.0, Bh=H, Bw=W,
+                            maxiter=3, max_relgap=0.0, check_every=3,
+                            use_pallas=False)
+    w = wavefront.solve_wavefront(*args, kernel=1, tol=1.0, maxiter=3,
+                                  max_relgap=0.0, check_every=3,
+                                  use_pallas=False)
+    assert float(b.energy) == pytest.approx(float(w.energy), rel=1e-12)
+    assert float(b.lower_bound) == pytest.approx(float(w.lower_bound),
+                                                 rel=1e-12)
+    np.testing.assert_array_equal(np.asarray(b.labels), np.asarray(w.labels))
+    np.testing.assert_allclose(np.asarray(b.messages),
+                               np.asarray(w.messages), atol=1e-6)
+
+
+def test_invariants_and_warm_start():
+    """Monotone LB, LB <= E; maxiter=2 == two chained maxiter=1 solves."""
+    rng = np.random.default_rng(7)
+    H, W, K, Bh, Bw = 10, 12, 4, 4, 4
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K)
+    args = (jnp.asarray(theta), jnp.asarray(D0), jnp.asarray(Q),
+            jnp.asarray(alphas))
+    kw = dict(kernel=1, tol=1.0, Bh=Bh, Bw=Bw, max_relgap=0.0,
+              use_pallas=False)
+
+    lbs = []
+    msgs = None
+    for _ in range(8):
+        res = banded.solve_banded(*args, maxiter=1, messages=msgs, **kw)
+        msgs = res.messages
+        lbs.append(float(res.lower_bound))
+        assert float(res.lower_bound) <= float(res.energy) + 1e-9
+    for a, b in zip(lbs, lbs[1:]):
+        assert b >= a - 1e-9, f"LB decreased: {a} -> {b}"
+
+    a2 = banded.solve_banded(*args, maxiter=2, check_every=2, **kw)
+    r1 = banded.solve_banded(*args, maxiter=1, **kw)
+    r2 = banded.solve_banded(*args, maxiter=1, messages=r1.messages, **kw)
+    assert float(a2.energy) == pytest.approx(float(r2.energy), rel=1e-12)
+    assert float(a2.lower_bound) == pytest.approx(float(r2.lower_bound),
+                                                  rel=1e-12)
+    np.testing.assert_array_equal(np.asarray(a2.labels),
+                                  np.asarray(r2.labels))
