@@ -47,9 +47,16 @@ class DispMap:
         # stopping-rule stride: decode/convergence-test every N TRW-S sweeps
         # (pure scheduling; the message math is unchanged)
         self.check_every = check_every
-        # TRW-S sweep schedule: 'checkerboard' (max parallel) or 'scanline'
-        # (row-sequential chains; far fewer sweeps to tight relative gaps)
+        # TRW-S sweep schedule: 'checkerboard' (max parallel), 'scanline'
+        # (row-sequential chains), 'wavefront' (exact raster order via
+        # anti-diagonals), or 'banded' (blocked wavefront, solvers/banded.py
+        # — the fastest time-to-host-energy schedule; block size =
+        # ``self.band``)
+        if schedule not in ("checkerboard", "scanline", "wavefront",
+                            "banded"):
+            raise ValueError(f"unknown schedule {schedule!r}")
         self.schedule = schedule
+        self.band = 128  # banded-schedule block size (Bh = Bw)
         # binary-fusion solver: 'device' (K=2 TRW-S + per-component
         # acceptance) or 'host' (exact QPBO roof duality through the native
         # lib — the bit-faithful rd_mex path, honoring ``improve``)
@@ -228,9 +235,12 @@ class DispMap:
     # device executions are chunked so no single XLA invocation runs for
     # minutes (long single executions can trip device watchdogs); messages
     # warm-start across chunks, so the trajectory is identical.  Scanline
-    # sweeps cost ~70x a checkerboard sweep, hence the smaller chunk.
+    # sweeps cost ~70x a checkerboard sweep, hence the smaller chunk;
+    # wavefront sweeps ~40-60 ms, banded ~4-6 ms (v5e, baby2 K=15).
     solver_chunk: int = 300  # ~60s worst case at K~80 baby2 scale
     solver_chunk_scanline: int = 50
+    solver_chunk_wavefront: int = 150
+    solver_chunk_banded: int = 400
 
     def simultaneous_fusion(self, proposals, verbose: bool = False,
                             trace=None) -> tuple[float, float, int]:
@@ -249,15 +259,18 @@ class DispMap:
         messages = None
         total_iters = 0
         e = lb = None
-        chunk_size = (self.solver_chunk_scanline if self.schedule == "scanline"
-                      else self.solver_chunk)
+        chunk_size = {
+            "scanline": self.solver_chunk_scanline,
+            "wavefront": self.solver_chunk_wavefront,
+            "banded": self.solver_chunk_banded,
+        }.get(self.schedule, self.solver_chunk)
         while total_iters < self.maxiter:
             chunk = min(chunk_size, self.maxiter - total_iters)
             with self.timings.phase("simultaneous_fusion"):
                 labels, e, lb, iters, messages = _simultaneous_fusion_step(
                     stack, unary, self.smooth_weights, self.smoothness_kernel,
                     self.tol, self.normalize, chunk, self.max_relgap,
-                    self.check_every, messages, self.schedule,
+                    self.check_every, messages, self.schedule, self.band,
                 )
             total_iters += int(iters)
             ef, lbf = float(e), float(lb)
@@ -363,11 +376,11 @@ def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normali
 @functools.partial(
     jax.jit,
     static_argnames=("kernel", "normalize", "maxiter", "max_relgap",
-                     "check_every", "schedule"),
+                     "check_every", "schedule", "band"),
 )
 def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize,
                               maxiter, max_relgap, check_every=1, messages=None,
-                              schedule="checkerboard"):
+                              schedule="checkerboard", band=128):
     def norm(x):
         if normalize is None:
             return x
@@ -381,12 +394,21 @@ def _simultaneous_fusion_step(prop_stack, unary, weights, kernel, tol, normalize
         ],
         axis=0,
     )  # [4, K, H, W]
+    extra = {}
     if schedule == "scanline":
         from stereo_tpu.solvers.scanline import solve_scanline as _solve
+    elif schedule == "wavefront":
+        from stereo_tpu.solvers.wavefront import solve_wavefront as _solve
+    elif schedule == "banded":
+        from stereo_tpu.solvers.banded import solve_banded as _solve
+
+        H, W = unary.shape[-2:]
+        extra = dict(Bh=max(2, min(band, H)), Bw=max(2, min(band, W)))
     else:
         _solve = trws.solve
     res = _solve(
         unary, D0, Q, weights, kernel=kernel, tol=tol, maxiter=maxiter,
         max_relgap=max_relgap, check_every=check_every, messages=messages,
+        **extra,
     )
     return res.labels, res.energy, res.lower_bound, res.iterations, res.messages
