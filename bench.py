@@ -17,8 +17,9 @@ example_simultaneous workload (baby2 SegPln, K=15):
     H*W*K*sweeps/s) of the fused Pallas phase kernel;
   - simultaneous-fusion race: trws_host (our serial O(K) C++ TRW-S, the
     trws_mex stand-in) run to the reference stopping rule (maxiter 3000,
-    relgap 1e-5), then the wavefront (raster-order) TPU solver timed to the
-    host's final energy — wall-clock speedup at equal-or-better energy;
+    relgap 1e-5), then the banded-wavefront TPU solver (solvers/banded.py,
+    fused Pallas kernel, 64x64 blocks) timed to the host's final energy —
+    wall-clock speedup at equal-or-better energy;
   - energy ratio reached (tpu_e / host_e, <= 1 means matched or beat).
 
 Robustness: the axon TPU tunnel occasionally drops; transient backend
@@ -113,13 +114,14 @@ def run_bench(n_moves=24, warmup=2):
     }
 
 
-def run_extras(max_wavefront_sweeps=800, chunk=50):
+def run_extras(max_sweeps=4000, chunk=100, band=64):
     """BASELINE.md's remaining metrics on the baby2 K=15 workload."""
     import jax
+    import jax.numpy as jnp
 
     from examples.run_global import build_model
     from tools.measure_race import build_problem
-    from stereo_tpu.solvers import trws, trws_host, wavefront
+    from stereo_tpu.solvers import banded, trws, trws_host
 
     dm = build_model("baby2", "float32", seed=0)
     unary, D0, Q, alphas = build_problem(dm, dm.segpln(seed=0))
@@ -163,30 +165,27 @@ def run_extras(max_wavefront_sweeps=800, chunk=50):
     out["host_trws_iters"] = iters
     out["host_trws_energy"] = round(e_host, 3)
 
-    # --- wavefront race to the host's final energy -----------------------
-    def wf(messages, sweeps):
-        return wavefront.solve_wavefront(
-            unary, D0, Q, alphas, kernel=kernel, tol=tol, maxiter=sweeps,
-            max_relgap=0.0, messages=messages, check_every=sweeps)
+    # --- banded-wavefront race to the host's final energy ----------------
+    # BandedRun packs the problem once; each chunk is one jitted dispatch of
+    # `chunk` fused-kernel sweeps + a decode (solvers/banded.py).
+    runner = banded.BandedRun(unary, D0, Q, alphas, kernel=kernel, tol=tol,
+                              Bh=band, Bw=band)
+    _, e0, _, _ = runner.run(runner.init_state(), chunk)  # compile, discard
+    jax.block_until_ready(e0)
 
-    wres = wf(None, chunk)  # compile both cold and warm-start shapes
-    jax.block_until_ready(wres.energy)
-    wres2 = wf(wres.messages, chunk)
-    jax.block_until_ready(wres2.energy)
-
-    M = None
+    state = runner.init_state()
     t_tpu = 0.0
     swept = 0
     e_best = float("inf")
-    while swept < max_wavefront_sweeps and e_best > e_host:
+    while swept < max_sweeps and e_best > e_host:
         t0 = time.perf_counter()
-        r = wf(M, chunk)
-        jax.block_until_ready(r.energy)
+        state, e, lb, labels = runner.run(state, chunk)
+        jax.block_until_ready(e)
         t_tpu += time.perf_counter() - t0
-        M = r.messages
         swept += chunk
-        e_best = min(e_best, float(r.energy))
-    out["wavefront_sweep_ms"] = round(t_tpu / swept * 1e3, 2)
+        e_best = min(e_best, float(e))
+    out["banded_block"] = band
+    out["banded_sweep_ms"] = round(t_tpu / swept * 1e3, 2)
     out["simultaneous_tpu_s"] = round(t_tpu, 1)
     out["simultaneous_tpu_sweeps"] = swept
     out["simultaneous_energy_ratio"] = round(e_best / e_host, 6)

@@ -21,13 +21,17 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--maxiter", type=int, default=3000)
-    ap.add_argument("--schedule", default="checkerboard",
-                    choices=["checkerboard", "scanline"])
+    ap.add_argument("--schedule", default="banded",
+                    choices=["checkerboard", "scanline", "wavefront",
+                             "banded"])
+    ap.add_argument("--band", type=int, default=64,
+                    help="block size for --schedule banded")
     ap.add_argument("--max-relgap", type=float, default=1e-5)
     args = ap.parse_args()
 
     dm = build_model(args.pair, args.dtype, args.seed)
     dm.schedule = args.schedule
+    dm.band = args.band
 
     t0 = time.perf_counter()
     segplns = dm.segpln(seed=args.seed)

@@ -440,38 +440,48 @@ def sweep_banded_pallas(prob, sp, M, S, *, T, K, kernel, tol, Bh, Bw, Gy, Gx,
     return Mnew, Snew, jnp.sum(lbv, dtype=jnp.float32)
 
 
+def sweep_state(spec, K, kernel, tol, prob, sp, state,
+                interpret: bool = False):
+    """One banded sweep on a solvers/banded.py state, with the packed
+    problem slabs (prob, sp) passed explicitly — so callers can route them
+    through a jit boundary as arguments instead of closure constants
+    (closure-captured slabs are inlined into the compile payload).
+    Padding to kernel layouts is added/stripped per call."""
+    LANE = prob.shape[-1]
+    Kp = _ceil8(K)
+    L, Lp = spec.L, spec.Lp
+    pad_k = Kp - K
+    MA, MB, (SxL, SxR, SyU, SyD) = state
+    M4 = jnp.concatenate([MA, MB], axis=1)
+    M4 = jnp.pad(M4, [(0, 0), (0, 0), (0, pad_k), (0, LANE - L)])
+    S = jnp.stack([
+        jnp.pad(SxL, [(0, pad_k), (0, LANE - L)]),
+        jnp.pad(SxR, [(0, pad_k), (0, LANE - L)]),
+        jnp.pad(SyU, [(0, pad_k), (0, LANE - Lp)]),
+        jnp.pad(SyD, [(0, pad_k), (0, LANE - Lp)]),
+    ], 0)
+    M4, S, lb = sweep_banded_pallas(
+        prob, sp, M4, S, T=spec.T, K=K, kernel=kernel, tol=tol,
+        Bh=spec.Bh, Bw=spec.Bw, Gy=spec.Gy, Gx=spec.Gx, H=spec.H,
+        W=spec.W, L2=spec.L2, interpret=interpret)
+    MA = M4[:, 0:2, :K, :L]
+    MB = M4[:, 2:4, :K, :L]
+    Snew = (S[0, :K, :L], S[1, :K, :L], S[2, :K, :Lp], S[3, :K, :Lp])
+    return (MA, MB, Snew), lb
+
+
 def make_sweep(bp, interpret: bool = False):
     """Build sweep_fn(state) -> (state', lb) over a banded._BandedProblem,
     where state = (MA, MB, (SxL, SxR, SyU, SyD)) in solvers/banded.py's
-    shapes.  Padding to kernel layouts is added/stripped per call."""
+    shapes."""
     spec = bp.spec
     if spec.T < 4:
         raise ImportError("banded kernel requires T >= 4")
     prob = pack_problem(bp)
     sp = pack_seam(bp)
-    LANE = prob.shape[-1]
-    K = bp.K
-    Kp = _ceil8(K)
-    L, Lp = spec.L, spec.Lp
-    pad_k = Kp - K
 
     def sweep_fn(state):
-        MA, MB, (SxL, SxR, SyU, SyD) = state
-        M4 = jnp.concatenate([MA, MB], axis=1)
-        M4 = jnp.pad(M4, [(0, 0), (0, 0), (0, pad_k), (0, LANE - L)])
-        S = jnp.stack([
-            jnp.pad(SxL, [(0, pad_k), (0, LANE - L)]),
-            jnp.pad(SxR, [(0, pad_k), (0, LANE - L)]),
-            jnp.pad(SyU, [(0, pad_k), (0, LANE - Lp)]),
-            jnp.pad(SyD, [(0, pad_k), (0, LANE - Lp)]),
-        ], 0)
-        M4, S, lb = sweep_banded_pallas(
-            prob, sp, M4, S, T=spec.T, K=K, kernel=bp.kernel, tol=bp.tol,
-            Bh=spec.Bh, Bw=spec.Bw, Gy=spec.Gy, Gx=spec.Gx, H=spec.H,
-            W=spec.W, L2=spec.L2, interpret=interpret)
-        MA = M4[:, 0:2, :K, :L]
-        MB = M4[:, 2:4, :K, :L]
-        Snew = (S[0, :K, :L], S[1, :K, :L], S[2, :K, :Lp], S[3, :K, :Lp])
-        return (MA, MB, Snew), lb
+        return sweep_state(spec, bp.K, bp.kernel, bp.tol, prob, sp, state,
+                           interpret=interpret)
 
     return sweep_fn

@@ -20,6 +20,10 @@ refit).
 
 from __future__ import annotations
 
+import concurrent.futures
+import os
+import threading
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -146,18 +150,30 @@ def segpln(
     window: int = 2,
     seed: int = 0,
     mults=MULTS,
+    workers: int | None = None,
 ) -> list[np.ndarray]:
-    """The full 14-proposal SegPln stream. Returns a list of [4, H, W] arrays."""
-    corr = photo.rssd_volume(
+    """The full 14-proposal SegPln stream. Returns a list of [4, H, W] arrays.
+
+    The 14 (segmentation -> RANSAC fit) chains are independent host work and
+    run on a thread pool, overlapped with the device correlation volume: the
+    volume is dispatched asynchronously, segmentations start immediately, and
+    each fit begins as soon as the WTA disparity lands (the reference runs
+    everything serially, dispmap_globalstereo.m:84-192).  Determinism: each
+    proposal b draws from its own rng seeded (seed, b) — the results don't
+    depend on worker count or completion order.
+    """
+    if workers is None:
+        workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+    corr = photo.rssd_volume(  # async dispatch; first consumed by WTA below
         [jnp.asarray(im) for im in images], [jnp.asarray(P) for P in Ps],
         disparities, col_thresh, window,
     )
-    disp = wta_disparity(corr, disparities, window)
     im_ref = np.asarray(images[0])
 
-    rng = np.random.default_rng(seed)
-    proposals = []
-    for b, mult in enumerate(np.asarray(mults)):
+    disp_box: list[np.ndarray] = []
+    disp_ready = threading.Event()
+
+    def seg_and_fit(b: int, mult: float) -> np.ndarray:
         sp = SEGMENT_PARAMS * mult
         if b < N_MEAN_SHIFT:
             labels = segmentation.mean_shift(im_ref, int(sp[0]), float(sp[1]),
@@ -165,5 +181,17 @@ def segpln(
         else:
             labels = segmentation.felzenszwalb(im_ref, 0.0, float(sp[3]),
                                                int(sp[2]))
-        proposals.append(fit_segment_planes(disp, labels, rng=rng))
-    return proposals
+        disp_ready.wait()
+        rng_b = np.random.default_rng(np.random.SeedSequence((seed, b)))
+        return fit_segment_planes(disp_box[0], labels, rng=rng_b)
+
+    mults = np.asarray(mults)
+    if workers <= 1:
+        disp_box.append(wta_disparity(corr, disparities, window))
+        disp_ready.set()
+        return [seg_and_fit(b, m) for b, m in enumerate(mults)]
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        futs = [ex.submit(seg_and_fit, b, m) for b, m in enumerate(mults)]
+        disp_box.append(wta_disparity(corr, disparities, window))
+        disp_ready.set()
+        return [f.result() for f in futs]

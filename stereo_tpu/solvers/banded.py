@@ -320,6 +320,30 @@ class _BandedProblem:
     def col(self, a, c):
         return lax.dynamic_index_in_dim(a, c, axis=0, keepdims=False)
 
+    # array fields, for passing a problem through a jit boundary explicitly
+    # (embedding them as closure constants ships hundreds of MB with every
+    # remote compile request)
+    _ARRAY_FIELDS = (
+        "theta", "D0", "QA", "QB", "aA", "aB", "vA", "vB", "pix", "gamma",
+        "PxL_q", "PxL_d0", "PxL_a", "PxR_q", "PxR_d0", "PxR_a",
+        "PyU_q", "PyU_d0", "PyU_a", "PyD_q", "PyD_d0", "PyD_a",
+        "lane_yb", "has_up", "has_dn", "vSxL", "vSxR",
+        "l2_grp", "vSyU", "vSyD",
+    )
+
+    def tree(self):
+        """Dict of all device arrays (a pytree for jit arguments)."""
+        return {f: getattr(self, f) for f in self._ARRAY_FIELDS}
+
+    def with_tree(self, tree):
+        """Shallow copy with the array fields replaced (e.g. by tracers)."""
+        import copy
+
+        bp = copy.copy(self)
+        for f, v in tree.items():
+            setattr(bp, f, v)
+        return bp
+
 
 def _sdownb(v, nb):
     """v[..., lane] -> v[..., lane - nb] (row yb reads yb-1), zero at yb=0."""
@@ -385,6 +409,252 @@ def _beliefs(bp: _BandedProblem, MA, MB, c, t, S, views):
     D = D + jnp.where(myT, sydT + syuT, 0.0)
     return D, (Ac, Bc, Acm1, Bcp1), (mx0, mxW, my0, myT)
 
+def _acc_t(bp):
+    return jnp.promote_types(bp.dtype, jnp.float32)
+
+
+def _fwd_col(bp: _BandedProblem, state, t):
+    """One forward step: process all nodes of (real) column t."""
+    spec = bp.spec
+    nb, Gx, Lp = spec.nb, spec.Gx, spec.Lp
+    ktol = (bp.kernel, bp.tol)
+    MA, MB, S = state
+    SxL, SxR, SyU, SyD = S
+    c = t + 1
+    views = _seam_views(bp, S, t)
+    D, (Ac, _, _, Bcp1), masks = _beliefs(bp, MA, MB, c, t, S, views)
+    mx0, mxW, my0, myT = masks
+    gD = bp.col(bp.gamma, c)[None, :] * D  # [K, L]
+
+    # interior head-sends, group A (RT, DN) at column c
+    mh, _ = _send_head(gD[None], Ac, bp.col(bp.QA, c),
+                       bp.col(bp.D0, c)[None], bp.col(bp.aA, c), *ktol)
+    vh = bp.col(bp.vA, c)
+    MA = _set_col(MA, c, jnp.where(vh[:, None, :] > 0, mh, Ac))
+
+    # interior tail-sends, group B (LT, UP) into column c+1
+    gDt = jnp.stack([gD, _sdownb(gD, nb)], 0)
+    mt, _ = _send_tail(gDt, Bcp1, bp.col(bp.QB, c + 1),
+                       bp.col(bp.D0, c + 1)[None],
+                       bp.col(bp.aB, c + 1), *ktol)
+    vt = bp.col(bp.vB, c + 1)
+    MB = _set_col(MB, c + 1, jnp.where(vt[:, None, :] > 0, mt, Bcp1))
+
+    QB_c = bp.col(bp.QB, c)
+    D0_c = bp.col(bp.D0, c)
+    aB_c = bp.col(bp.aB, c)
+    # F-head x: M[LT]@(., t, 0), stored in SxL at group t
+    mlt, _ = _send_head(gD, SxL, QB_c[0], D0_c, aB_c[0], *ktol)
+    SxL = jnp.where(mx0, mlt, SxL)
+    # F-head y: M[UP]@(., 0, t), SyU group t (computed at group-0 lanes)
+    mup, _ = _send_head(gD, views[0], QB_c[1], D0_c, aB_c[1], *ktol)
+    upd = jnp.roll(_padLp(jnp.where(my0, mup, 0.0), Lp), t * nb, axis=-1)
+    wy = (bp.l2_grp == t) & bp.vSyU
+    SyU = jnp.where(wy, upd, SyU)
+    # F-tail x: M[RT]@(., t, Bw-1) <- source (b+1, t, 0)
+    mrt, _ = _send_tail(jnp.roll(gD, -1, axis=-1), SxR,
+                        bp.PxR_q, bp.PxR_d0, bp.PxR_a, *ktol)
+    wx = (bp.lane_yb == t) & bp.vSxR
+    SxR = jnp.where(wx, mrt, SxR)
+    # F-tail y: M[DN]@(., Bh-1, t) <- source (b+Gx down-block, 0, t)
+    gDp = _padLp(gD, Lp)
+    mdn, _ = _send_tail(jnp.roll(gDp, t * nb - Gx, axis=-1), SyD,
+                        bp.PyD_q, bp.PyD_d0, bp.PyD_a, *ktol)
+    wy2 = (bp.l2_grp == t) & bp.vSyD
+    SyD = jnp.where(wy2, mdn, SyD)
+    return (MA, MB, (SxL, SxR, SyU, SyD)), None
+
+
+def _bwd_col(bp: _BandedProblem, state, t):
+    """One backward step with lower-bound accumulation."""
+    spec = bp.spec
+    nb, Gx, Lp = spec.nb, spec.Gx, spec.Lp
+    ktol = (bp.kernel, bp.tol)
+    acc_t = _acc_t(bp)
+    MA, MB, S = state
+    SxL, SxR, SyU, SyD = S
+    c = t + 1
+    views = _seam_views(bp, S, t)
+    D, (_, Bc, Acm1, _), masks = _beliefs(bp, MA, MB, c, t, S, views)
+    mx0, mxW, my0, myT = masks
+    pix_c = bp.col(bp.pix, c)
+    vminD = jnp.min(D, axis=0)
+    lb = jnp.sum(jnp.where(pix_c > 0, vminD, 0.0), dtype=acc_t)
+    gD = bp.col(bp.gamma, c)[None, :] * (D - vminD[None, :])
+
+    # interior head-sends, group B (LT, UP) at column c
+    mh, vminh = _send_head(gD[None], Bc, bp.col(bp.QB, c),
+                           bp.col(bp.D0, c)[None], bp.col(bp.aB, c),
+                           *ktol)
+    vh = bp.col(bp.vB, c)
+    lb += jnp.sum(jnp.where(vh > 0, vminh, 0.0), dtype=acc_t)
+    MB = _set_col(MB, c, jnp.where(vh[:, None, :] > 0, mh, Bc))
+
+    # interior tail-sends, group A (RT, DN) into column c-1
+    gDt = jnp.stack([gD, _supb(gD, nb)], 0)
+    mt, vmint = _send_tail(gDt, Acm1, bp.col(bp.QA, c - 1),
+                           bp.col(bp.D0, c - 1)[None],
+                           bp.col(bp.aA, c - 1), *ktol)
+    vt = bp.col(bp.vA, c - 1)
+    lb += jnp.sum(jnp.where(vt > 0, vmint, 0.0), dtype=acc_t)
+    MA = _set_col(MA, c - 1, jnp.where(vt[:, None, :] > 0, mt, Acm1))
+
+    QA_c = bp.col(bp.QA, c)
+    D0_c = bp.col(bp.D0, c)
+    aA_c = bp.col(bp.aA, c)
+    # B-head x: M[RT]@(., t-Bw+1, Bw-1), SxR at group t-Bw+1
+    mrt, vrt = _send_head(gD, SxR, QA_c[0], D0_c, aA_c[0], *ktol)
+    SxR = jnp.where(mxW, mrt, SxR)
+    lb += jnp.sum(jnp.where(mxW, vrt, 0.0), dtype=acc_t)
+    # B-head y: M[DN]@(., Bh-1, t-Bh+1), computed at group Bh-1 lanes
+    mdn, vdn = _send_head(gD, views[2], QA_c[1], D0_c, aA_c[1], *ktol)
+    lb += jnp.sum(jnp.where(myT, vdn, 0.0), dtype=acc_t)
+    upd = jnp.roll(_padLp(jnp.where(myT, mdn, 0.0), Lp),
+                   -(2 * spec.Bh - 2 - t) * nb, axis=-1)
+    wyd = (bp.l2_grp == t - (spec.Bh - 1)) & bp.vSyD
+    SyD = jnp.where(wyd, upd, SyD)
+    # B-tail x: M[LT]@(., t-Bw+1, 0) <- source (b-1, t-Bw+1, Bw-1)
+    mlt, vlt = _send_tail(jnp.roll(gD, 1, axis=-1), SxL,
+                          bp.PxL_q, bp.PxL_d0, bp.PxL_a, *ktol)
+    wxl = (bp.lane_yb == t - (spec.Bw - 1)) & bp.vSxL
+    SxL = jnp.where(wxl, mlt, SxL)
+    lb += jnp.sum(jnp.where(wxl, vlt, 0.0), dtype=acc_t)
+    # B-tail y: M[UP]@(., 0, t-Bh+1) <- source (b, Bh-1, t-Bh+1),
+    # target SyU at lane2 (t-Bh+1, b+Gx)
+    gDp = _padLp(gD, Lp)
+    src = jnp.roll(gDp, (t - 2 * spec.Bh + 2) * nb + Gx, axis=-1)
+    mup, vup = _send_tail(src, SyU, bp.PyU_q, bp.PyU_d0, bp.PyU_a, *ktol)
+    wyu = (bp.l2_grp == t - (spec.Bh - 1)) & bp.vSyU
+    SyU = jnp.where(wyu, mup, SyU)
+    lb += jnp.sum(jnp.where(wyu, vup, 0.0), dtype=acc_t)
+    return (MA, MB, (SxL, SxR, SyU, SyD)), lb
+
+
+def _sweep_scan(bp: _BandedProblem, state):
+    """One full (fwd + bwd) pass via lax.scan over columns. -> (state, lb)."""
+    T = bp.spec.T
+    state, _ = lax.scan(lambda s, t: _fwd_col(bp, s, t), state,
+                        jnp.arange(T))
+    state, lbs = lax.scan(lambda s, t: _bwd_col(bp, s, t), state,
+                          jnp.arange(T - 1, -1, -1))
+    return state, jnp.sum(lbs, dtype=_acc_t(bp))
+
+
+def _decode_state(bp: _BandedProblem, state):
+    """Greedy conditioned decode in banded order + exact energy.
+
+    Mirrors ComputeSolutionAndEnergy (minimize.cpp:223-264) under the banded
+    order: each node conditions on its *earlier* neighbors' solutions
+    (interior left/up + seam right/down) and adds the messages of its later
+    edges."""
+    spec = bp.spec
+    T, nb, Gx, L, Lp = spec.T, spec.nb, spec.Gx, spec.L, spec.Lp
+    Bh, Bw = spec.Bh, spec.Bw
+    kernel, tol = bp.kernel, bp.tol
+    acc_t = _acc_t(bp)
+    MA, MB, S = state
+    SxL, SxR, SyU, SyD = S
+
+    def step(carry, t):
+        sols, E = carry  # sols: [T+2, L] labels of processed columns
+        c = t + 1
+        views = _seam_views(bp, S, t)
+        syu0, syd0, sydT, syuT = views
+        pix_c = bp.col(bp.pix, c)
+        th = bp.col(bp.theta, c)
+        D0c = bp.col(bp.D0, c)
+        QB_c = bp.col(bp.QB, c)
+        aB_c = bp.col(bp.aB, c)
+        vB_c = bp.col(bp.vB, c)
+        QA_c = bp.col(bp.QA, c)
+        aA_c = bp.col(bp.aA, c)
+        QA_p = bp.col(bp.QA, c - 1)
+        aA_p = bp.col(bp.aA, c - 1)
+        vA_p = bp.col(bp.vA, c - 1)
+        D0p = bp.col(bp.D0, c - 1)
+        sol_prev = bp.col(sols, c - 1)
+
+        mx0 = (bp.lane_yb == t) & bp.vSxL
+        mxW = (bp.lane_yb == t - (Bw - 1)) & bp.vSxR
+        my0 = (bp.lane_yb == 0) & bp.has_up & (pix_c > 0)
+        myT = (bp.lane_yb == Bh - 1) & bp.has_dn & (pix_c > 0)
+
+        Db = th
+        # conditioned on interior earlier nbrs (left, up)
+        sol_l = sol_prev
+        sol_u = _sdownb(sol_prev, nb)
+        Q_sel = take_plane(QB_c[0], sol_l)
+        Db = Db + aB_c[0][None, :] * truncated_kernel(
+            Q_sel[None, :] - D0c, kernel, tol) * vB_c[0][None, :]
+        Q_sel = take_plane(QB_c[1], sol_u)
+        Db = Db + aB_c[1][None, :] * truncated_kernel(
+            Q_sel[None, :] - D0c, kernel, tol) * vB_c[1][None, :]
+        # out-edges at interior earlier nbrs: E(ln, RT), E(un, DN)
+        D0_sel = take_plane(D0p, sol_l)
+        Db = Db + aA_p[0][None, :] * truncated_kernel(
+            QA_p[0] - D0_sel[None, :], kernel, tol) * vA_p[0][None, :]
+        D0_un = take_plane(D0p, sol_prev)
+        t_un = aA_p[1][None, :] * truncated_kernel(
+            QA_p[1] - D0_un[None, :], kernel, tol) * vA_p[1][None, :]
+        Db = Db + _sdownb(t_un, nb)
+        # conditioned on seam earlier nbrs: right (xb = Bw-1 nodes)
+        sol_r = jnp.roll(bp.col(sols, c - (Bw - 1)), -1, axis=-1)
+        Q_sel = take_plane(QA_c[0], sol_r)
+        Db = Db + jnp.where(
+            mxW, aA_c[0] * truncated_kernel(Q_sel[None] - D0c, kernel,
+                                            tol), 0.0)
+        qln = jnp.roll(bp.PxL_q, -1, axis=-1)
+        d0ln = take_plane(jnp.roll(bp.PxL_d0, -1, axis=-1), sol_r)
+        aln = jnp.roll(bp.PxL_a, -1, axis=-1)
+        Db = Db + jnp.where(
+            mxW, aln * truncated_kernel(qln - d0ln[None], kernel, tol),
+            0.0)
+        # conditioned on seam earlier nbrs: down (yb = Bh-1 nodes)
+        sol_d = jnp.roll(_padLp(bp.col(sols, c - (Bh - 1)), Lp),
+                         (Bh - 1) * nb - Gx, axis=-1)[..., :L]
+        Q_sel = take_plane(QA_c[1], sol_d)
+        Db = Db + jnp.where(
+            myT, aA_c[1] * truncated_kernel(Q_sel[None] - D0c, kernel,
+                                            tol), 0.0)
+        sh = (2 * Bh - 2 - t) * nb - Gx
+        qdn = jnp.roll(bp.PyU_q, sh, axis=-1)[..., :L]
+        d0dn_full = jnp.roll(bp.PyU_d0, sh, axis=-1)[..., :L]
+        adn = jnp.roll(bp.PyU_a, sh, axis=-1)[..., :L]
+        d0dn = take_plane(d0dn_full, sol_d)
+        Db = Db + jnp.where(
+            myT, adn * truncated_kernel(qdn - d0dn[None], kernel, tol),
+            0.0)
+
+        # messages on later edges
+        Ac = bp.col(MA, c)
+        Bn = bp.col(MB, c + 1)
+        Di = Db + Ac[0] + Ac[1] + Bn[0] + _supb(Bn[1], nb)
+        Di = Di + jnp.where(mx0, SxL + jnp.roll(SxR, 1, axis=-1), 0.0)
+        Di = Di + jnp.where(my0, syu0 + syd0, 0.0)
+
+        sol = jnp.argmin(Di, axis=0).astype(jnp.int32)
+        E = E + jnp.sum(
+            jnp.where(pix_c > 0, take_plane(Db, sol), 0.0), dtype=acc_t)
+        sols = _set_col(sols, c, sol)
+        return (sols, E), None
+
+    sols0 = jnp.zeros((T + 2, spec.L), jnp.int32)
+    (sols, E), _ = lax.scan(step, (sols0, jnp.zeros((), acc_t)),
+                            jnp.arange(T))
+    labels = from_cols(sols.astype(bp.dtype), spec).astype(jnp.int32)
+    return labels, E
+
+
+def _make_sweep_fn(bp: _BandedProblem, use_pallas):
+    if use_pallas:
+        try:
+            from stereo_tpu.ops import banded_kernel as bk
+
+            return bk.make_sweep(bp)
+        except ImportError:
+            pass
+    return lambda state: _sweep_scan(bp, state)
+
 
 def solve_banded(
     unary: jax.Array,  # [K, H, W]
@@ -405,249 +675,30 @@ def solve_banded(
     """Banded-order TRW-S; drop-in for trws.solve / wavefront.solve_wavefront.
 
     Bh x Bw is the block size: T = Bh + Bw - 1 parallel steps per pass.
-    Bh = H, Bw = W reproduces the raster wavefront exactly."""
+    Bh = H, Bw = W reproduces the raster wavefront exactly.
+
+    For repeated chunked solves of one problem (races, pooled drivers) use
+    BandedRun, which packs the problem once instead of per call."""
     K, H, W = unary.shape
     dtype = unary.dtype
     spec = BandedSpec(H, W, Bh, Bw)
     bp = _BandedProblem(unary, positions, nbr_positions, alphas, spec,
                         kernel, tol)
-    T, nb, Gx, L, Lp = spec.T, spec.nb, spec.Gx, spec.L, spec.Lp
-    acc_t = jnp.promote_types(dtype, jnp.float32)
-    ktol = (kernel, tol)
+    acc_t = _acc_t(bp)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    sweep_fn = _make_sweep_fn(bp, use_pallas)
 
     if messages is None:
         messages = jnp.zeros((4, K, H, W), dtype)
     state0 = messages_to_state(messages, bp)
 
-    def fwd_col(state, t):
-        MA, MB, S = state
-        SxL, SxR, SyU, SyD = S
-        c = t + 1
-        views = _seam_views(bp, S, t)
-        D, (Ac, _, _, Bcp1), masks = _beliefs(bp, MA, MB, c, t, S, views)
-        mx0, mxW, my0, myT = masks
-        gD = bp.col(bp.gamma, c)[None, :] * D  # [K, L]
-
-        # interior head-sends, group A (RT, DN) at column c
-        mh, _ = _send_head(gD[None], Ac, bp.col(bp.QA, c),
-                           bp.col(bp.D0, c)[None], bp.col(bp.aA, c), *ktol)
-        vh = bp.col(bp.vA, c)
-        MA = _set_col(MA, c, jnp.where(vh[:, None, :] > 0, mh, Ac))
-
-        # interior tail-sends, group B (LT, UP) into column c+1
-        gDt = jnp.stack([gD, _sdownb(gD, nb)], 0)
-        mt, _ = _send_tail(gDt, Bcp1, bp.col(bp.QB, c + 1),
-                           bp.col(bp.D0, c + 1)[None],
-                           bp.col(bp.aB, c + 1), *ktol)
-        vt = bp.col(bp.vB, c + 1)
-        MB = _set_col(MB, c + 1, jnp.where(vt[:, None, :] > 0, mt, Bcp1))
-
-        QB_c = bp.col(bp.QB, c)
-        D0_c = bp.col(bp.D0, c)
-        aB_c = bp.col(bp.aB, c)
-        # F-head x: M[LT]@(., t, 0), stored in SxL at group t
-        mlt, _ = _send_head(gD, SxL, QB_c[0], D0_c, aB_c[0], *ktol)
-        SxL = jnp.where(mx0, mlt, SxL)
-        # F-head y: M[UP]@(., 0, t), SyU group t (computed at group-0 lanes)
-        mup, _ = _send_head(gD, views[0], QB_c[1], D0_c, aB_c[1], *ktol)
-        upd = jnp.roll(_padLp(jnp.where(my0, mup, 0.0), Lp), t * nb, axis=-1)
-        wy = (bp.l2_grp == t) & bp.vSyU
-        SyU = jnp.where(wy, upd, SyU)
-        # F-tail x: M[RT]@(., t, Bw-1) <- source (b+1, t, 0)
-        mrt, _ = _send_tail(jnp.roll(gD, -1, axis=-1), SxR,
-                            bp.PxR_q, bp.PxR_d0, bp.PxR_a, *ktol)
-        wx = (bp.lane_yb == t) & bp.vSxR
-        SxR = jnp.where(wx, mrt, SxR)
-        # F-tail y: M[DN]@(., Bh-1, t) <- source (b+Gx down-block, 0, t)
-        gDp = _padLp(gD, Lp)
-        mdn, _ = _send_tail(jnp.roll(gDp, t * nb - Gx, axis=-1), SyD,
-                            bp.PyD_q, bp.PyD_d0, bp.PyD_a, *ktol)
-        wy2 = (bp.l2_grp == t) & bp.vSyD
-        SyD = jnp.where(wy2, mdn, SyD)
-        return (MA, MB, (SxL, SxR, SyU, SyD)), None
-
-    def bwd_col(state, t):
-        MA, MB, S = state
-        SxL, SxR, SyU, SyD = S
-        c = t + 1
-        spec_ = bp.spec
-        views = _seam_views(bp, S, t)
-        D, (_, Bc, Acm1, _), masks = _beliefs(bp, MA, MB, c, t, S, views)
-        mx0, mxW, my0, myT = masks
-        pix_c = bp.col(bp.pix, c)
-        vminD = jnp.min(D, axis=0)
-        lb = jnp.sum(jnp.where(pix_c > 0, vminD, 0.0), dtype=acc_t)
-        gD = bp.col(bp.gamma, c)[None, :] * (D - vminD[None, :])
-
-        # interior head-sends, group B (LT, UP) at column c
-        mh, vminh = _send_head(gD[None], Bc, bp.col(bp.QB, c),
-                               bp.col(bp.D0, c)[None], bp.col(bp.aB, c),
-                               *ktol)
-        vh = bp.col(bp.vB, c)
-        lb += jnp.sum(jnp.where(vh > 0, vminh, 0.0), dtype=acc_t)
-        MB = _set_col(MB, c, jnp.where(vh[:, None, :] > 0, mh, Bc))
-
-        # interior tail-sends, group A (RT, DN) into column c-1
-        gDt = jnp.stack([gD, _supb(gD, spec_.nb)], 0)
-        mt, vmint = _send_tail(gDt, Acm1, bp.col(bp.QA, c - 1),
-                               bp.col(bp.D0, c - 1)[None],
-                               bp.col(bp.aA, c - 1), *ktol)
-        vt = bp.col(bp.vA, c - 1)
-        lb += jnp.sum(jnp.where(vt > 0, vmint, 0.0), dtype=acc_t)
-        MA = _set_col(MA, c - 1, jnp.where(vt[:, None, :] > 0, mt, Acm1))
-
-        QA_c = bp.col(bp.QA, c)
-        D0_c = bp.col(bp.D0, c)
-        aA_c = bp.col(bp.aA, c)
-        # B-head x: M[RT]@(., t-Bw+1, Bw-1), SxR at group t-Bw+1
-        mrt, vrt = _send_head(gD, SxR, QA_c[0], D0_c, aA_c[0], *ktol)
-        SxR = jnp.where(mxW, mrt, SxR)
-        lb += jnp.sum(jnp.where(mxW, vrt, 0.0), dtype=acc_t)
-        # B-head y: M[DN]@(., Bh-1, t-Bh+1), computed at group Bh-1 lanes
-        mdn, vdn = _send_head(gD, views[2], QA_c[1], D0_c, aA_c[1], *ktol)
-        lb += jnp.sum(jnp.where(myT, vdn, 0.0), dtype=acc_t)
-        upd = jnp.roll(_padLp(jnp.where(myT, mdn, 0.0), Lp),
-                       -(2 * spec_.Bh - 2 - t) * spec_.nb, axis=-1)
-        wyd = (bp.l2_grp == t - (spec_.Bh - 1)) & bp.vSyD
-        SyD = jnp.where(wyd, upd, SyD)
-        # B-tail x: M[LT]@(., t-Bw+1, 0) <- source (b-1, t-Bw+1, Bw-1)
-        mlt, vlt = _send_tail(jnp.roll(gD, 1, axis=-1), SxL,
-                              bp.PxL_q, bp.PxL_d0, bp.PxL_a, *ktol)
-        wxl = (bp.lane_yb == t - (spec_.Bw - 1)) & bp.vSxL
-        SxL = jnp.where(wxl, mlt, SxL)
-        lb += jnp.sum(jnp.where(wxl, vlt, 0.0), dtype=acc_t)
-        # B-tail y: M[UP]@(., 0, t-Bh+1) <- source (b-Gx up... source is the
-        # group Bh-1 node of the block above? no: source = (b, Bh-1, t-Bh+1),
-        # target SyU at lane2 (t-Bh+1, b+Gx).
-        gDp = _padLp(gD, Lp)
-        src = jnp.roll(gDp, (t - 2 * spec_.Bh + 2) * spec_.nb + spec_.Gx,
-                       axis=-1)
-        mup, vup = _send_tail(src, SyU, bp.PyU_q, bp.PyU_d0, bp.PyU_a, *ktol)
-        wyu = (bp.l2_grp == t - (spec_.Bh - 1)) & bp.vSyU
-        SyU = jnp.where(wyu, mup, SyU)
-        lb += jnp.sum(jnp.where(wyu, vup, 0.0), dtype=acc_t)
-        return (MA, MB, (SxL, SxR, SyU, SyD)), lb
-
-    def decode(state):
-        """Greedy conditioned decode in banded order + exact energy."""
-        MA, MB, S = state
-        SxL, SxR, SyU, SyD = S
-        Bh, Bw = spec.Bh, spec.Bw
-
-        def step(carry, t):
-            sols, E = carry  # sols: [T+2, L] labels of processed columns
-            c = t + 1
-            views = _seam_views(bp, S, t)
-            syu0, syd0, sydT, syuT = views
-            pix_c = bp.col(bp.pix, c)
-            th = bp.col(bp.theta, c)
-            D0c = bp.col(bp.D0, c)
-            QB_c = bp.col(bp.QB, c)
-            aB_c = bp.col(bp.aB, c)
-            vB_c = bp.col(bp.vB, c)
-            QA_c = bp.col(bp.QA, c)
-            aA_c = bp.col(bp.aA, c)
-            QA_p = bp.col(bp.QA, c - 1)
-            aA_p = bp.col(bp.aA, c - 1)
-            vA_p = bp.col(bp.vA, c - 1)
-            D0p = bp.col(bp.D0, c - 1)
-            sol_prev = bp.col(sols, c - 1)
-
-            mx0 = (bp.lane_yb == t) & bp.vSxL
-            mxW = (bp.lane_yb == t - (Bw - 1)) & bp.vSxR
-            my0 = (bp.lane_yb == 0) & bp.has_up & (pix_c > 0)
-            myT = (bp.lane_yb == Bh - 1) & bp.has_dn & (pix_c > 0)
-
-            Db = th
-            # conditioned on interior earlier nbrs (left, up)
-            sol_l = sol_prev
-            sol_u = _sdownb(sol_prev, nb)
-            Q_sel = take_plane(QB_c[0], sol_l)
-            Db = Db + aB_c[0][None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * vB_c[0][None, :]
-            Q_sel = take_plane(QB_c[1], sol_u)
-            Db = Db + aB_c[1][None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * vB_c[1][None, :]
-            # out-edges at interior earlier nbrs: E(ln, RT), E(un, DN)
-            D0_sel = take_plane(D0p, sol_l)
-            Db = Db + aA_p[0][None, :] * truncated_kernel(
-                QA_p[0] - D0_sel[None, :], kernel, tol) * vA_p[0][None, :]
-            D0_un = take_plane(D0p, sol_prev)
-            t_un = aA_p[1][None, :] * truncated_kernel(
-                QA_p[1] - D0_un[None, :], kernel, tol) * vA_p[1][None, :]
-            Db = Db + _sdownb(t_un, nb)
-            # conditioned on seam earlier nbrs: right (xb = Bw-1 nodes)
-            sol_r = jnp.roll(bp.col(sols, c - (Bw - 1)), -1, axis=-1)
-            Q_sel = take_plane(QA_c[0], sol_r)
-            Db = Db + jnp.where(
-                mxW, aA_c[0] * truncated_kernel(Q_sel[None] - D0c, kernel,
-                                                tol), 0.0)
-            qln = jnp.roll(bp.PxL_q, -1, axis=-1)
-            d0ln = take_plane(jnp.roll(bp.PxL_d0, -1, axis=-1), sol_r)
-            aln = jnp.roll(bp.PxL_a, -1, axis=-1)
-            Db = Db + jnp.where(
-                mxW, aln * truncated_kernel(qln - d0ln[None], kernel, tol),
-                0.0)
-            # conditioned on seam earlier nbrs: down (yb = Bh-1 nodes)
-            sol_d = jnp.roll(_padLp(bp.col(sols, c - (Bh - 1)), Lp),
-                             (Bh - 1) * nb - Gx, axis=-1)[..., :L]
-            Q_sel = take_plane(QA_c[1], sol_d)
-            Db = Db + jnp.where(
-                myT, aA_c[1] * truncated_kernel(Q_sel[None] - D0c, kernel,
-                                                tol), 0.0)
-            qdn = jnp.roll(bp.PyU_q, (2 * Bh - 2 - t) * nb - Gx,
-                           axis=-1)[..., :L]
-            d0dn_full = jnp.roll(bp.PyU_d0, (2 * Bh - 2 - t) * nb - Gx,
-                                 axis=-1)[..., :L]
-            adn = jnp.roll(bp.PyU_a, (2 * Bh - 2 - t) * nb - Gx,
-                           axis=-1)[..., :L]
-            d0dn = take_plane(d0dn_full, sol_d)
-            Db = Db + jnp.where(
-                myT, adn * truncated_kernel(qdn - d0dn[None], kernel, tol),
-                0.0)
-
-            # messages on later edges
-            Ac = bp.col(MA, c)
-            Bn = bp.col(MB, c + 1)
-            Di = Db + Ac[0] + Ac[1] + Bn[0] + _supb(Bn[1], nb)
-            Di = Di + jnp.where(mx0, SxL + jnp.roll(SxR, 1, axis=-1), 0.0)
-            Di = Di + jnp.where(my0, syu0 + syd0, 0.0)
-
-            sol = jnp.argmin(Di, axis=0).astype(jnp.int32)
-            E = E + jnp.sum(
-                jnp.where(pix_c > 0, take_plane(Db, sol), 0.0), dtype=acc_t)
-            sols = _set_col(sols, c, sol)
-            return (sols, E), None
-
-        sols0 = jnp.zeros((T + 2, L), jnp.int32)
-        (sols, E), _ = lax.scan(step, (sols0, jnp.zeros((), acc_t)),
-                                jnp.arange(T))
-        labels = from_cols(sols.astype(dtype), spec).astype(jnp.int32)
-        return labels, E
-
-    sweep_fn = None
-    if use_pallas:
-        try:
-            from stereo_tpu.ops import banded_kernel as bk
-
-            sweep_fn = bk.make_sweep(bp)
-        except ImportError:
-            sweep_fn = None
-
-    def sweep(state, _):
-        if sweep_fn is not None:
-            return sweep_fn(state)
-        state, _ = lax.scan(fwd_col, state, jnp.arange(T))
-        state, lbs = lax.scan(bwd_col, state, jnp.arange(T - 1, -1, -1))
-        return state, jnp.sum(lbs, dtype=acc_t)
-
     def one_check(state):
-        state, lbs = lax.scan(sweep, state, jnp.arange(check_every))
+        state, lbs = lax.scan(lambda s, _: sweep_fn(s), state,
+                              jnp.arange(check_every))
         lb = lbs[-1]
-        labels, energy = decode(state)
+        labels, energy = _decode_state(bp, state)
         return state, energy, lb, labels
 
     def cond(full):
@@ -667,6 +718,80 @@ def solve_banded(
     state, iters, energy, lb, labels = lax.while_loop(cond, body, full0)
     return TRWSResult(labels, energy, lb, iters,
                       state_to_messages(state, bp))
+
+
+class BandedRun:
+    """Prepared banded solver: pack the problem once, sweep in jitted chunks.
+
+    solve_banded re-skews/re-packs the problem inside every call — fine for
+    one solve, wasteful for chunked driving (each 100-sweep chunk of the
+    baby2 race spent ~0.9 s repacking vs ~0.4 s sweeping).  BandedRun hoists
+    _BandedProblem + the kernel slabs out of the hot path; `run(state, n)`
+    compiles once per distinct n and then costs n sweeps + one decode.
+
+    Usage:
+        r = BandedRun(unary, D0, Q, alphas, kernel=1, tol=2.0, Bh=64, Bw=64)
+        state = r.init_state()
+        state, energy, lb, labels = r.run(state, 100)   # chunk of 100 sweeps
+        msgs = r.messages(state)                         # [4, K, H, W]
+    """
+
+    def __init__(self, unary, positions, nbr_positions, alphas, *, kernel,
+                 tol, Bh, Bw, use_pallas=None):
+        K, H, W = unary.shape
+        self.spec = BandedSpec(H, W, Bh, Bw)
+        self.bp = _BandedProblem(unary, positions, nbr_positions, alphas,
+                                 self.spec, kernel, tol)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
+        self._packed = None
+        if use_pallas:
+            try:
+                from stereo_tpu.ops import banded_kernel as bk
+
+                if self.spec.T >= 4:
+                    self._packed = (bk.pack_problem(self.bp),
+                                    bk.pack_seam(self.bp))
+            except ImportError:
+                pass
+        self._chunk_cache = {}
+        self.K, self.H, self.W = K, H, W
+        self.dtype = unary.dtype
+
+    def init_state(self, messages=None):
+        if messages is None:
+            messages = jnp.zeros((4, self.K, self.H, self.W), self.dtype)
+        return messages_to_state(messages, self.bp)
+
+    def run(self, state, sweeps: int):
+        """sweeps passes + one decode. -> (state, energy, lb, labels)."""
+        fn = self._chunk_cache.get(sweeps)
+        if fn is None:
+            spec, K, kernel, tol = (self.spec, self.K, self.bp.kernel,
+                                    self.bp.tol)
+
+            def chunk(tree, packed, state):
+                bp = self.bp.with_tree(tree)
+                if packed is not None:
+                    from stereo_tpu.ops import banded_kernel as bk
+
+                    prob, sp = packed
+                    sweep = lambda s: bk.sweep_state(spec, K, kernel, tol,
+                                                     prob, sp, s)
+                else:
+                    sweep = lambda s: _sweep_scan(bp, s)
+                state, lbs = lax.scan(lambda s, _: sweep(s), state,
+                                      jnp.arange(sweeps))
+                labels, energy = _decode_state(bp, state)
+                return state, energy, lbs[-1], labels
+
+            fn = jax.jit(chunk, donate_argnums=2)
+            self._chunk_cache[sweeps] = fn
+        return fn(self.bp.tree(), self._packed, state)
+
+    def messages(self, state):
+        return state_to_messages(state, self.bp)
 
 
 def messages_to_state(messages: jax.Array, bp: _BandedProblem):

@@ -160,3 +160,28 @@ def test_invariants_and_warm_start():
                                                   rel=1e-12)
     np.testing.assert_array_equal(np.asarray(a2.labels),
                                   np.asarray(r2.labels))
+
+
+def test_banded_run_matches_solve():
+    """BandedRun chunked driving == solve_banded, chunk by chunk."""
+    rng = np.random.default_rng(9)
+    H, W, K, Bh, Bw = 9, 11, 3, 4, 4
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K)
+    args = (jnp.asarray(theta), jnp.asarray(D0), jnp.asarray(Q),
+            jnp.asarray(alphas))
+    run = banded.BandedRun(*args, kernel=1, tol=1.0, Bh=Bh, Bw=Bw,
+                           use_pallas=False)
+    state = run.init_state()
+    msgs = None
+    for _ in range(3):
+        state, e, lb, labels = run.run(state, 2)
+        ref = banded.solve_banded(*args, kernel=1, tol=1.0, Bh=Bh, Bw=Bw,
+                                  maxiter=2, max_relgap=0.0, check_every=2,
+                                  messages=msgs, use_pallas=False)
+        msgs = ref.messages
+        assert float(e) == pytest.approx(float(ref.energy), rel=1e-9)
+        assert float(lb) == pytest.approx(float(ref.lower_bound), rel=1e-9)
+        np.testing.assert_array_equal(np.asarray(labels),
+                                      np.asarray(ref.labels))
+    np.testing.assert_allclose(np.asarray(run.messages(state)),
+                               np.asarray(msgs), rtol=1e-7, atol=1e-7)
