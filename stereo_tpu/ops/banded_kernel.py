@@ -470,6 +470,20 @@ def sweep_state(spec, K, kernel, tol, prob, sp, state,
     return (MA, MB, Snew), lb
 
 
+def vmem_estimate(K: int, spec) -> int:
+    """Rough VMEM footprint (bytes) of one sweep_banded_pallas call."""
+    Kp = _ceil8(K)
+    LANE = _ceil128(spec.Lp)
+    Rp = _ceil8(6 * Kp + 10)
+    Rs = _ceil8(8 * Kp + 4)
+    rows = (NSLOT * 4 * Kp  # message window
+            + PSLOT * Rp  # problem window
+            + 3 * 4 * Kp  # S in/out + working copies
+            + Rs  # seam problem slab
+            + 8 * Kp)  # per-step temporaries (views, sends)
+    return rows * LANE * 4
+
+
 def make_sweep(bp, interpret: bool = False):
     """Build sweep_fn(state) -> (state', lb) over a banded._BandedProblem,
     where state = (MA, MB, (SxL, SxR, SyU, SyD)) in solvers/banded.py's
@@ -477,6 +491,13 @@ def make_sweep(bp, interpret: bool = False):
     spec = bp.spec
     if spec.T < 4:
         raise ImportError("banded kernel requires T >= 4")
+    if vmem_estimate(bp.K, spec) > 14 * 1024 * 1024:
+        # e.g. K ~ 80 at small blocks: the resident windows exceed the ~16 MB
+        # VMEM budget; fall back to the (exact) scan path rather than fail
+        # Mosaic allocation.  Larger blocks shrink LANE — callers can retry
+        # with a bigger band.
+        raise ImportError("banded kernel VMEM estimate exceeds budget "
+                          f"(K={bp.K}, LANE={_ceil128(spec.Lp)})")
     prob = pack_problem(bp)
     sp = pack_seam(bp)
 

@@ -750,7 +750,8 @@ class BandedRun:
             try:
                 from stereo_tpu.ops import banded_kernel as bk
 
-                if self.spec.T >= 4:
+                if (self.spec.T >= 4
+                        and bk.vmem_estimate(K, self.spec) <= 14 * 2 ** 20):
                     self._packed = (bk.pack_problem(self.bp),
                                     bk.pack_seam(self.bp))
             except ImportError:
@@ -764,12 +765,21 @@ class BandedRun:
             messages = jnp.zeros((4, self.K, self.H, self.W), self.dtype)
         return messages_to_state(messages, self.bp)
 
-    def run(self, state, sweeps: int):
-        """sweeps passes + one decode. -> (state, energy, lb, labels)."""
-        fn = self._chunk_cache.get(sweeps)
+    def run(self, state, sweeps: int, decode_every: int | None = None):
+        """sweeps passes, decoding every `decode_every` sweeps (default:
+        once at the end) and keeping the best labeling seen — the TRW-S
+        greedy decode oscillates around convergence (ROADMAP.md: banded
+        findings), so frequent cheap decodes + an incumbent reach a target
+        energy in fewer sweeps.  -> (state, best_energy, lb, best_labels)."""
+        if decode_every is None or decode_every >= sweeps:
+            decode_every = sweeps
+        sweeps = (sweeps // decode_every) * decode_every
+        key = (sweeps, decode_every)
+        fn = self._chunk_cache.get(key)
         if fn is None:
             spec, K, kernel, tol = (self.spec, self.K, self.bp.kernel,
                                     self.bp.tol)
+            n_seg = sweeps // decode_every
 
             def chunk(tree, packed, state):
                 bp = self.bp.with_tree(tree)
@@ -781,13 +791,25 @@ class BandedRun:
                                                      prob, sp, s)
                 else:
                     sweep = lambda s: _sweep_scan(bp, s)
-                state, lbs = lax.scan(lambda s, _: sweep(s), state,
-                                      jnp.arange(sweeps))
-                labels, energy = _decode_state(bp, state)
-                return state, energy, lbs[-1], labels
+
+                def segment(carry, _):
+                    state, bestE, bestL = carry
+                    state, lbs = lax.scan(lambda s, _: sweep(s), state,
+                                          jnp.arange(decode_every))
+                    labels, energy = _decode_state(bp, state)
+                    better = energy < bestE
+                    bestE = jnp.where(better, energy, bestE)
+                    bestL = jnp.where(better, labels, bestL)
+                    return (state, bestE, bestL), lbs[-1]
+
+                big = jnp.asarray(jnp.inf, _acc_t(bp))
+                lab0 = jnp.zeros((spec.H, spec.W), jnp.int32)
+                (state, bestE, bestL), lbs = lax.scan(
+                    segment, (state, big, lab0), jnp.arange(n_seg))
+                return state, bestE, lbs[-1], bestL
 
             fn = jax.jit(chunk, donate_argnums=2)
-            self._chunk_cache[sweeps] = fn
+            self._chunk_cache[key] = fn
         return fn(self.bp.tree(), self._packed, state)
 
     def messages(self, state):
