@@ -114,7 +114,7 @@ def run_bench(n_moves=24, warmup=2):
     }
 
 
-def run_extras(max_sweeps=4000, chunk=100, band=64):
+def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
     """BASELINE.md's remaining metrics on the baby2 K=15 workload."""
     import jax
     import jax.numpy as jnp
@@ -170,7 +170,12 @@ def run_extras(max_sweeps=4000, chunk=100, band=64):
     # `chunk` fused-kernel sweeps + a decode (solvers/banded.py).
     runner = banded.BandedRun(unary, D0, Q, alphas, kernel=kernel, tol=tol,
                               Bh=band, Bw=band)
-    _, e0, _, _ = runner.run(runner.init_state(), chunk)  # compile, discard
+    # B=128's bound converges in fewer sweeps than B=64; its greedy decode
+    # oscillates, so chunks keep a best-labels incumbent across frequent
+    # cheap decodes (decode_every) — measured round 3: 2.8 s / 900 sweeps
+    # to the host's converged energy vs 4.2 s / 1700 at B=64.
+    _, e0, _, _ = runner.run(runner.init_state(), chunk,
+                             decode_every=decode_every)  # compile, discard
     jax.block_until_ready(e0)
 
     state = runner.init_state()
@@ -179,7 +184,8 @@ def run_extras(max_sweeps=4000, chunk=100, band=64):
     e_best = float("inf")
     while swept < max_sweeps and e_best > e_host:
         t0 = time.perf_counter()
-        state, e, lb, labels = runner.run(state, chunk)
+        state, e, lb, labels = runner.run(state, chunk,
+                                          decode_every=decode_every)
         jax.block_until_ready(e)
         t_tpu += time.perf_counter() - t0
         swept += chunk

@@ -45,6 +45,26 @@ def _ceil128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _send_head2(gD2, Mold, Q, D02, alpha, kernel, tol, K):
+    """Head-send with per-direction source beliefs and positions:
+    msg'[kt] = min_kh(gD2[kh] - Mold[kh] + a*TR(Q[kt] - D02[kh])), normalized.
+
+    gD2/Mold/Q/D02: [2, Kp, L]; alpha: [2, L].  Like
+    wavefront_kernel._send_head but with gD and D0 stacked per direction —
+    the narrowed seam sends window each direction at a different lane group,
+    so the two directions no longer share source data."""
+    Hs = gD2 - Mold
+    acc = None
+    for kh in range(K):
+        cand = Hs[:, kh][:, None, :] + alpha[:, None, :] * truncated_kernel(
+            Q - D02[:, kh][:, None, :], kernel, tol)
+        acc = cand if acc is None else jnp.minimum(acc, cand)
+    kt = lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    vmin = jnp.min(jnp.where(kt < K, acc, BIG), axis=1)
+    msg = jnp.where(kt < K, acc - vmin[:, None, :], 0.0)
+    return msg, vmin
+
+
 def _send_tail2(gDt, Mold, Q, D02, alpha, kernel, tol, K):
     """Tail-send with per-direction head positions: msg'[kh] =
     min_kt(gDt[kt] - Mold[kt] + a*TR(Q[kt] - D02[kh])), normalized.
@@ -156,6 +176,24 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         """Dynamic circular lane roll: out[i] = v[i - s]."""
         sh = lax.rem(lax.rem(s, LANE) + LANE, LANE)
         return pltpu.roll(v, sh, axis=v.ndim - 1)
+
+    # Narrow seam-send windows: each seam send only affects one lane group
+    # (nb = Gy*Gx contiguous lanes out of LANE), so when nb is much smaller
+    # than LANE the send's O(K^2 * LANE) min-add compute is done on a rolled
+    # [*, WN] window instead (WN = ceil128(nb)) and the result expanded back.
+    # Rolls only permute lanes, so the masked lanes are bitwise identical to
+    # the full-width path (pinned in tests/test_banded_kernel.py).
+    WN = _ceil128(nb)
+    NARROW = WN < LANE
+
+    def _win(v, s):
+        """Roll v by s, keep the first WN lanes (out[i] = v[i - s])."""
+        return _dro(v, s)[..., :WN]
+
+    def _expand(n, s):
+        """[..., WN] -> [..., LANE]: zero-pad, then place window at lane s."""
+        z = jnp.zeros(n.shape[:-1] + (LANE - WN,), n.dtype)
+        return _dro(jnp.concatenate([n, z], axis=-1), s)
 
     def _sdownb(v):
         """v[lane] -> v[lane - nb], zero at yb = 0 (within-block up nbr)."""
@@ -276,20 +314,46 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         # seam head-sends: M[LT]@(., t, 0) -> SxL, M[UP]@(., 0, t) -> SyU
         QB_c = prow(ps_c, off_QB, off_QB + R2).reshape(2, Kp, -1)
         aB_c = prow(ps_c, off_aB, off_aB + 2)
-        mold = jnp.stack([S_out[0], views[0]], 0)
-        mhs, _ = _send_head(gD, mold, QB_c, D0_c, aB_c, kernel, tol, K)
+        if NARROW:
+            # x-dir computed at group t (shift sx), y-dir at group 0
+            sx = -t * nb
+            gD2 = jnp.stack([_win(gD, sx), gD[:, :WN]], 0)
+            mold = jnp.stack([_win(S_out[0], sx), views[0][:, :WN]], 0)
+            Q2 = jnp.stack([_win(QB_c[0], sx), QB_c[1][:, :WN]], 0)
+            D02 = jnp.stack([_win(D0_c, sx), D0_c[:, :WN]], 0)
+            a2 = jnp.stack([_win(aB_c[0][None], sx)[0], aB_c[1][:WN]], 0)
+            mhs_n, _ = _send_head2(gD2, mold, Q2, D02, a2, kernel, tol, K)
+            mhs = jnp.stack([_expand(mhs_n[0], t * nb),
+                             _expand(mhs_n[1], 0)], 0)
+        else:
+            mold = jnp.stack([S_out[0], views[0]], 0)
+            mhs, _ = _send_head(gD, mold, QB_c, D0_c, aB_c, kernel, tol, K)
         S_out[0] = jnp.where(mx0, mhs[0], S_out[0])
         upd = _dro(jnp.where(my0, mhs[1], 0.0), t * nb)
         S_out[2] = jnp.where(((yb_l == t) & vSyU), upd, S_out[2])
 
         # seam tail-sends: -> SxR at (t, b-1), -> SyD at (t, b-Gx)
-        gDs = jnp.stack([pltpu.roll(gD, LANE - 1, axis=1),
-                         _dro(gD, t * nb - Gx)], 0)
-        molds = jnp.stack([S_out[1], S_out[3]], 0)
-        Qs = jnp.stack([sp[Kp:2 * Kp], sp[3 * Kp:4 * Kp]], 0)
-        D0s = jnp.stack([sp[5 * Kp:6 * Kp], sp[7 * Kp:8 * Kp]], 0)
-        als = jnp.stack([sp[8 * Kp + 1], sp[8 * Kp + 3]], 0)
-        mts, _ = _send_tail2(gDs, molds, Qs, D0s, als, kernel, tol, K)
+        if NARROW:
+            # both targets live at lane group t
+            gDs = jnp.stack([_win(gD, sx - 1), _win(gD, -Gx)], 0)
+            molds = jnp.stack([_win(S_out[1], sx), _win(S_out[3], sx)], 0)
+            Qs = jnp.stack([_win(sp[Kp:2 * Kp], sx),
+                            _win(sp[3 * Kp:4 * Kp], sx)], 0)
+            D0s = jnp.stack([_win(sp[5 * Kp:6 * Kp], sx),
+                             _win(sp[7 * Kp:8 * Kp], sx)], 0)
+            als = jnp.stack([_win(sp[8 * Kp + 1][None], sx)[0],
+                             _win(sp[8 * Kp + 3][None], sx)[0]], 0)
+            mts_n, _ = _send_tail2(gDs, molds, Qs, D0s, als, kernel, tol, K)
+            mts = jnp.stack([_expand(mts_n[0], t * nb),
+                             _expand(mts_n[1], t * nb)], 0)
+        else:
+            gDs = jnp.stack([pltpu.roll(gD, LANE - 1, axis=1),
+                             _dro(gD, t * nb - Gx)], 0)
+            molds = jnp.stack([S_out[1], S_out[3]], 0)
+            Qs = jnp.stack([sp[Kp:2 * Kp], sp[3 * Kp:4 * Kp]], 0)
+            D0s = jnp.stack([sp[5 * Kp:6 * Kp], sp[7 * Kp:8 * Kp]], 0)
+            als = jnp.stack([sp[8 * Kp + 1], sp[8 * Kp + 3]], 0)
+            mts, _ = _send_tail2(gDs, molds, Qs, D0s, als, kernel, tol, K)
         S_out[1] = jnp.where(((yb_l == t) & vSxR), mts[0], S_out[1])
         S_out[3] = jnp.where(((yb_l == t) & vSyD), mts[1], S_out[3])
 
@@ -365,8 +429,28 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         #                  M[DN]@(., Bh-1, t-Bh+1) -> SyD
         QA_c = prow(ps_c, off_QA, off_QA + R2).reshape(2, Kp, -1)
         aA_c = prow(ps_c, off_aA, off_aA + 2)
-        mold = jnp.stack([S_out[1], views[2]], 0)
-        mhs, vhs = _send_head(gD, mold, QA_c, D0_c, aA_c, kernel, tol, K)
+        tb = t - (Bw - 1)  # x-seam compute/target lane group
+        th_ = t - (Bh - 1)  # y-seam target lane2 group
+        if NARROW:
+            # x-dir computed at group tb; y-dir at group Bh-1
+            sxb = -tb * nb
+            syb = -(Bh - 1) * nb
+            gD2 = jnp.stack([_win(gD, sxb), _win(gD, syb)], 0)
+            mold = jnp.stack([_win(S_out[1], sxb),
+                              _win(S_out[3], -th_ * nb)], 0)
+            Q2 = jnp.stack([_win(QA_c[0], sxb), _win(QA_c[1], syb)], 0)
+            D02 = jnp.stack([_win(D0_c, sxb), _win(D0_c, syb)], 0)
+            a2 = jnp.stack([_win(aA_c[0][None], sxb)[0],
+                            _win(aA_c[1][None], syb)[0]], 0)
+            mhs_n, vhs_n = _send_head2(gD2, mold, Q2, D02, a2, kernel, tol,
+                                       K)
+            mhs = jnp.stack([_expand(mhs_n[0], tb * nb),
+                             _expand(mhs_n[1], (Bh - 1) * nb)], 0)
+            vhs = jnp.stack([_expand(vhs_n[0][None], tb * nb)[0],
+                             _expand(vhs_n[1][None], (Bh - 1) * nb)[0]], 0)
+        else:
+            mold = jnp.stack([S_out[1], views[2]], 0)
+            mhs, vhs = _send_head(gD, mold, QA_c, D0_c, aA_c, kernel, tol, K)
         lb_col = lb_col + jnp.where(mxW[0], vhs[0], 0.0)
         lb_col = lb_col + jnp.where(myT[0], vhs[1], 0.0)
         S_out[1] = jnp.where(mxW, mhs[0], S_out[1])
@@ -375,13 +459,31 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         S_out[3] = jnp.where(((yb_l == t - (Bh - 1)) & vSyD), upd, S_out[3])
 
         # seam tail-sends: -> SxL at (t-Bw+1, b+1), -> SyU at (t-Bh+1, b+Gx)
-        gDs = jnp.stack([pltpu.roll(gD, 1, axis=1),
-                         _dro(gD, (t - 2 * Bh + 2) * nb + Gx)], 0)
-        molds = jnp.stack([S_out[0], S_out[2]], 0)
-        Qs = jnp.stack([sp[0:Kp], sp[2 * Kp:3 * Kp]], 0)
-        D0s = jnp.stack([sp[4 * Kp:5 * Kp], sp[6 * Kp:7 * Kp]], 0)
-        als = jnp.stack([sp[8 * Kp], sp[8 * Kp + 2]], 0)
-        mts, vts = _send_tail2(gDs, molds, Qs, D0s, als, kernel, tol, K)
+        if NARROW:
+            gDs = jnp.stack([_win(gD, sxb + 1),
+                             _win(gD, Gx - (Bh - 1) * nb)], 0)
+            molds = jnp.stack([_win(S_out[0], sxb),
+                               _win(S_out[2], -th_ * nb)], 0)
+            Qs = jnp.stack([_win(sp[0:Kp], sxb),
+                            _win(sp[2 * Kp:3 * Kp], -th_ * nb)], 0)
+            D0s = jnp.stack([_win(sp[4 * Kp:5 * Kp], sxb),
+                             _win(sp[6 * Kp:7 * Kp], -th_ * nb)], 0)
+            als = jnp.stack([_win(sp[8 * Kp][None], sxb)[0],
+                             _win(sp[8 * Kp + 2][None], -th_ * nb)[0]], 0)
+            mts_n, vts_n = _send_tail2(gDs, molds, Qs, D0s, als, kernel,
+                                       tol, K)
+            mts = jnp.stack([_expand(mts_n[0], tb * nb),
+                             _expand(mts_n[1], th_ * nb)], 0)
+            vts = jnp.stack([_expand(vts_n[0][None], tb * nb)[0],
+                             _expand(vts_n[1][None], th_ * nb)[0]], 0)
+        else:
+            gDs = jnp.stack([pltpu.roll(gD, 1, axis=1),
+                             _dro(gD, (t - 2 * Bh + 2) * nb + Gx)], 0)
+            molds = jnp.stack([S_out[0], S_out[2]], 0)
+            Qs = jnp.stack([sp[0:Kp], sp[2 * Kp:3 * Kp]], 0)
+            D0s = jnp.stack([sp[4 * Kp:5 * Kp], sp[6 * Kp:7 * Kp]], 0)
+            als = jnp.stack([sp[8 * Kp], sp[8 * Kp + 2]], 0)
+            mts, vts = _send_tail2(gDs, molds, Qs, D0s, als, kernel, tol, K)
         wxl = (yb_l == t - (Bw - 1)) & vSxL
         wyu = (yb_l == t - (Bh - 1)) & vSyU
         lb_col = lb_col + jnp.where(wxl[0], vts[0], 0.0)

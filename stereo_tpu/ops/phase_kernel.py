@@ -54,6 +54,112 @@ def _kernel(tol_ref, gD_ref, gDs_ref, M_ref, Q_ref, D0_ref, alpha_ref,
         vmin_ref[d] = vmin
 
 
+def _kernel_compact(tol_ref, gD_ref, gDn_ref, Ms_ref, Mo_ref, Qs_ref, Qo_ref,
+                    D0s_ref, D0o_ref, as_ref, ao_ref, vs_ref, vo_ref,
+                    newMs_ref, newMo_ref, vmins_ref, vmino_ref, *,
+                    kernel: int, K: int):
+    """Checkerboard-compacted phase: each variant computed exactly once.
+
+    s = the phase's source color, o = the other.  Variant B (head is the
+    source) runs on the s-compacted half-grid; variant A (tail is the
+    source) on the o-compacted half — no masked-out duplicate work, unlike
+    `_kernel` which evaluates both variants everywhere and selects."""
+    tol = tol_ref[0]
+    gD = gD_ref[...]  # [K, th, tw] beliefs at s-heads
+    D0s = D0s_ref[...]
+    D0o = D0o_ref[...]
+    cdtype = gD.dtype
+    for d in range(4):
+        # variant B at s-heads: msg[i] = min_j HB[j] + a*TR(Q_i - D0_j)
+        HB = gD - Ms_ref[d].astype(cdtype)
+        Q = Qs_ref[d]
+        alpha = as_ref[d]
+        accB = None
+        for j in range(K):
+            term = alpha[None] * truncated_kernel(Q - D0s[j][None], kernel,
+                                                  tol)
+            contrib = HB[j][None] + term
+            accB = contrib if accB is None else jnp.minimum(accB, contrib)
+        vminB = jnp.min(accB, axis=0)
+        newMs_ref[d] = ((accB - vminB[None])
+                        * vs_ref[d][None]).astype(newMs_ref.dtype)
+        vmins_ref[d] = vminB
+        # variant A at o-heads: msg[j] = min_i HA[i] + a*TR(Q_i - D0_j)
+        HA = gDn_ref[d] - Mo_ref[d].astype(cdtype)
+        Q = Qo_ref[d]
+        alpha = ao_ref[d]
+        rowsA = []
+        for j in range(K):
+            term = alpha[None] * truncated_kernel(Q - D0o[j][None], kernel,
+                                                  tol)
+            rowsA.append(jnp.min(HA + term, axis=0))
+        msgA = jnp.stack(rowsA, axis=0)
+        vminA = jnp.min(msgA, axis=0)
+        newMo_ref[d] = ((msgA - vminA[None])
+                        * vo_ref[d][None]).astype(newMo_ref.dtype)
+        vmino_ref[d] = vminA
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "th", "interpret"))
+def phase_messages_compact_pallas(gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
+                                  a_s, a_o, valid_s, valid_o, tol,
+                                  kernel: int, th: int = 8,
+                                  interpret: bool = False):
+    """Fused compacted phase (see ops/checker.py for the layout).
+
+    gD_s, D0_*: [K, Hc, W]; gDn (tail beliefs at o-heads), M_*, Q_*:
+    [4, K, Hc, W]; a_*, valid_*: [4, Hc, W].  Returns
+    (newM_s, newM_o, vmin_s, vmin_o)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, Hc, W = gD_s.shape
+    cands = [tw for tw in (512, 384, 256, 128)
+             if 30 * K * th * tw * 4 <= 10 * 1024 * 1024]
+    if not cands:
+        cands = [128]
+    tw = min(cands, key=lambda t: (-(-W // t) * t, -t))
+    pad_h = (-Hc) % th
+    pad_w = (-W) % tw
+    if pad_h or pad_w:
+        pr = lambda a: jnp.pad(
+            a, [(0, 0)] * (a.ndim - 2) + [(0, pad_h), (0, pad_w)])
+        (gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o, a_s, a_o, valid_s,
+         valid_o) = map(pr, (gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
+                             a_s, a_o, valid_s, valid_o))
+    Hp, Wp = Hc + pad_h, W + pad_w
+
+    grid = (Hp // th, Wp // tw)
+    k3 = pl.BlockSpec((K, th, tw), lambda h, w: (0, h, w),
+                      memory_space=pltpu.VMEM)
+    k4 = pl.BlockSpec((4, K, th, tw), lambda h, w: (0, 0, h, w),
+                      memory_space=pltpu.VMEM)
+    p3 = pl.BlockSpec((4, th, tw), lambda h, w: (0, h, w),
+                      memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    newMs, newMo, vmins, vmino = pl.pallas_call(
+        functools.partial(_kernel_compact, kernel=kernel, K=K),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[sm, k3, k4, k4, k4, k4, k4, k3, k3, p3, p3, p3, p3],
+        out_specs=[k4, k4, p3, p3],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, K, Hp, Wp), M_s.dtype),
+            jax.ShapeDtypeStruct((4, K, Hp, Wp), M_o.dtype),
+            jax.ShapeDtypeStruct((4, Hp, Wp), gD_s.dtype),
+            jax.ShapeDtypeStruct((4, Hp, Wp), gD_s.dtype),
+        ],
+    )(jnp.asarray(tol, gD_s.dtype).reshape(1), gD_s, gDn, M_s, M_o, Q_s,
+      Q_o, D0_s, D0_o, a_s, a_o, valid_s, valid_o)
+    if pad_h or pad_w:
+        newMs = newMs[..., :Hc, :W]
+        newMo = newMo[..., :Hc, :W]
+        vmins = vmins[..., :Hc, :W]
+        vmino = vmino[..., :Hc, :W]
+    return newMs, newMo, vmins, vmino
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kernel", "th", "interpret"))
 def phase_messages_pallas(gD, gD_shifted, M, Q, D0, alphas, src_is_head,
@@ -69,10 +175,15 @@ def phase_messages_pallas(gD, gD_shifted, M, Q, D0, alphas, src_is_head,
     from jax.experimental.pallas import tpu as pltpu
 
     K, H, W = gD.shape
-    # VMEM budget: ~19K tile planes live; cap plane elements accordingly
-    tw = 512
-    while tw > 128 and 19 * K * th * tw * 4 > 10 * 1024 * 1024:
-        tw //= 2
+    # VMEM budget: ~19K tile planes live; cap plane elements accordingly.
+    # Among the admissible widths pick the one minimizing the padded total
+    # width (e.g. W=370: tw=512 pads to 512 but tw=384 pads to 384 — a
+    # straight 25% compute/traffic cut), tie-broken toward wider tiles.
+    cands = [tw for tw in (512, 384, 256, 128)
+             if 19 * K * th * tw * 4 <= 10 * 1024 * 1024]
+    if not cands:
+        cands = [128]
+    tw = min(cands, key=lambda t: (-(-W // t) * t, -t))
     pad_h = (-H) % th
     pad_w = (-W) % tw
     if pad_h or pad_w:

@@ -169,6 +169,84 @@ def _phase(theta, M, D0, Q, alphas, valid, gamma, cb, color, kernel, tol,
     return jnp.stack(newM, axis=0), lb_nodes, lb_msgs
 
 
+def _phase_compact(theta2, M2, D02, Q2, alphas2, valid2, gamma2, pix2, s,
+                   kernel, tol, accumulate_lb, use_pallas=None,
+                   interpret=False):
+    """Compacted half-iteration (ops/checker.py layout): update every edge's
+    message from its color-``s`` endpoint, each variant computed once on its
+    own half-grid.  M2/theta2/... are per-absolute-color pairs; returns
+    (new_M2, lb_nodes, lb_msgs)."""
+    from stereo_tpu.ops import checker
+
+    o = 1 - s
+    dtype = theta2[s].dtype
+    acc_t = jnp.promote_types(dtype, jnp.float32)
+    H = int(pix2[2])  # full image height rides with the pixel masks
+
+    # beliefs at the source color
+    D = theta2[s]
+    for d in range(NUM_DIRS):
+        D = D + M2[s][d].astype(dtype)
+        D = D + checker.cshift(M2[o][OPP[d]].astype(dtype), d, s, H)
+
+    lb_nodes = jnp.zeros((), acc_t)
+    if accumulate_lb:
+        vminD = jnp.min(D, axis=0)
+        D = D - vminD[None]
+        lb_nodes = jnp.sum(jnp.where(pix2[s] > 0, vminD, 0.0), dtype=acc_t)
+
+    gD = gamma2[s][None] * D  # [K, Hc, W]
+    gDn = jnp.stack([checker.cshift(gD, d, o, H) for d in range(NUM_DIRS)], 0)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from stereo_tpu.ops.phase_kernel import phase_messages_compact_pallas
+
+        newMs, newMo, vmins, vmino = phase_messages_compact_pallas(
+            gD, gDn, M2[s], M2[o], Q2[s], Q2[o], D02[s], D02[o],
+            alphas2[s], alphas2[o], valid2[s], valid2[o], tol, kernel,
+            interpret=interpret)
+    else:
+        K = gD.shape[0]
+        newMs_l, newMo_l, vmins_l, vmino_l = [], [], [], []
+        for d in range(NUM_DIRS):
+            # variant B at s-heads: msg[i] = min_j HB[j] + a*TR(Q_i - D0_j)
+            HB = gD - M2[s][d].astype(dtype)
+            accB = None
+            for j in range(K):
+                term = alphas2[s][d][None] * truncated_kernel(
+                    Q2[s][d] - D02[s][j][None], kernel, tol)
+                contrib = HB[j][None] + term
+                accB = contrib if accB is None else jnp.minimum(accB, contrib)
+            vminB = jnp.min(accB, axis=0)
+            newMs_l.append((accB - vminB[None]) * valid2[s][d][None])
+            vmins_l.append(vminB)
+            # variant A at o-heads: msg[j] = min_i HA[i] + a*TR(Q_i - D0_j)
+            HA = gDn[d] - M2[o][d].astype(dtype)
+            rows = []
+            for j in range(K):
+                term = alphas2[o][d][None] * truncated_kernel(
+                    Q2[o][d] - D02[o][j][None], kernel, tol)
+                rows.append(jnp.min(HA + term, axis=0))
+            msgA = jnp.stack(rows, axis=0)
+            vminA = jnp.min(msgA, axis=0)
+            newMo_l.append((msgA - vminA[None]) * valid2[o][d][None])
+            vmino_l.append(vminA)
+        newMs = jnp.stack(newMs_l, 0).astype(M2[s].dtype)
+        newMo = jnp.stack(newMo_l, 0).astype(M2[o].dtype)
+        vmins = jnp.stack(vmins_l, 0)
+        vmino = jnp.stack(vmino_l, 0)
+
+    lb_msgs = jnp.zeros((), acc_t)
+    if accumulate_lb:
+        lb_msgs = (jnp.sum(jnp.where(valid2[s] > 0, vmins, 0.0), dtype=acc_t)
+                   + jnp.sum(jnp.where(valid2[o] > 0, vmino, 0.0),
+                             dtype=acc_t))
+    new_M2 = (newMs, newMo) if s == 0 else (newMo, newMs)
+    return new_M2, lb_nodes, lb_msgs
+
+
 def _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol):
     """Greedy conditioned decode + exact energy of the decoded labeling.
 
@@ -232,6 +310,7 @@ def solve(
     use_pallas: bool | None = None,  # None = auto (Pallas on TPU)
     check_every: int = 1,  # decode + test the stopping rule every N iterations
     message_dtype=None,  # e.g. jnp.bfloat16: narrow message *storage*
+    compact: bool | None = None,  # checkerboard H-compaction (None = auto)
 ) -> TRWSResult:
     """Run checkerboard TRW-S (or plain loopy BP) to the reference's
     stopping rule.
@@ -276,11 +355,44 @@ def solve(
 
     accumulate_lb = mode == "trws"
 
+    # Checkerboard H-compaction (ops/checker.py): each phase computes each
+    # message variant once on its color's half-grid instead of both variants
+    # everywhere + select — ~2x less sweep compute.  Decode/stop checks
+    # expand back to the full grid (once per check_every sweeps).
+    if compact is None:
+        compact = (use_pallas if use_pallas is not None
+                   else jax.default_backend() == "tpu")
+    if compact:
+        from stereo_tpu.ops import checker
+
+        ch = lambda a: (checker.compact_h(a, 0), checker.compact_h(a, 1))
+        theta2, D02, Q2, alphas2, valid2, gamma2 = map(
+            ch, (theta, D0, Q, alphas, valid, gamma))
+        pix_full = jnp.ones((H, W), dtype)
+        pix2 = (checker.compact_h(pix_full, 0),
+                checker.compact_h(pix_full, 1), H)
+
+        def to_compact(M):
+            return ch(M)
+
+        def to_full(M2):
+            return checker.expand_h(M2[0], M2[1], H)
+
     def message_passes(M):
         """check_every forward+backward sweeps; LB from the last sweep."""
 
         def sweep(_, carry):
             M, _ = carry
+            if compact:
+                M, _, _ = _phase_compact(theta2, M, D02, Q2, alphas2,
+                                         valid2, gamma2, pix2, 0, kernel,
+                                         tol, accumulate_lb=False,
+                                         use_pallas=use_pallas)
+                M, lb_nodes, lb_msgs = _phase_compact(
+                    theta2, M, D02, Q2, alphas2, valid2, gamma2, pix2, 1,
+                    kernel, tol, accumulate_lb=accumulate_lb,
+                    use_pallas=use_pallas)
+                return M, (lb_nodes + lb_msgs).astype(dtype)
             M, _, _ = _phase(theta, M, D0, Q, alphas, valid, gamma, cb, 0,
                              kernel, tol, accumulate_lb=False,
                              use_pallas=use_pallas)
@@ -298,6 +410,8 @@ def solve(
         # forward (black) + backward (white) message sweeps
         # (minimize.cpp:33-95), check_every at a time
         M, lb_sweep = message_passes(M)
+        if compact:
+            M, Mc = to_full(M), M
         if accumulate_lb:
             # blacks contribute their belief minima to the bound (they have no
             # backward edges; minimize.cpp:69-83 visits them at the end of the
@@ -311,6 +425,8 @@ def solve(
         else:
             lb = jnp.zeros((), dtype)
         labels, energy = _decode(theta, M, D0, Q, alphas, valid, cb, kernel, tol)
+        if compact:
+            return Mc, energy, lb, labels
         return M, energy, lb, labels
 
     def cond(state):
@@ -327,11 +443,13 @@ def solve(
 
     zero = jnp.zeros((), dtype)
     state0 = (
-        messages,
+        to_compact(messages) if compact else messages,
         jnp.zeros((), jnp.int32),
         zero,
         zero,
         jnp.zeros((H, W), jnp.int32),
     )
     M, iters, energy, lb, labels = jax.lax.while_loop(cond, body, state0)
-    return TRWSResult(labels, energy, lb, iters, M)
+    if compact:
+        M = to_full(M)
+    return TRWSResult(labels, energy, lb, iters, M.astype(m_dtype))

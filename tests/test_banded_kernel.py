@@ -34,6 +34,8 @@ def _assert_state_close(s1, s2, bp, rtol=1e-5, atol=1e-4):
     (3, 8, 10, 4, 5, 1),   # padding-free 2x2 blocks
     (4, 9, 8, 4, 4, 2),    # padded rows, square blocks
     (3, 10, 11, 5, 4, 1),  # padded cols
+    (3, 48, 40, 8, 8, 1),  # LANE > 128: narrowed seam-send path
+    (2, 40, 47, 8, 8, 2),  # narrowed path, kernel 2, padded cols
 ])
 def test_kernel_matches_scan_sweep(K, H, W, Bh, Bw, kernel):
     theta, D0, Q, alphas = _problem(K, H, W)
