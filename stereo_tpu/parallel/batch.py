@@ -65,7 +65,8 @@ def batched_problem(models, proposals_per_model):
 
 
 def simultaneous_fusion_batched(models, proposals_per_model, mesh,
-                                maxiter=1000, max_relgap=1e-4):
+                                maxiter=1000, max_relgap=1e-4,
+                                compact=False):
     """Fuse B problems at once across the mesh; updates each model in place.
 
     Returns list of (energy, lower_bound, iterations_total).
@@ -77,7 +78,7 @@ def simultaneous_fusion_batched(models, proposals_per_model, mesh,
 
     res = mesh_mod.sharded_solve(
         mesh, unary, D0, Q, alphas, kernel=kernel, tol=tol, maxiter=maxiter,
-        max_relgap=max_relgap,
+        max_relgap=max_relgap, compact=compact,
     )
     out = []
     for b, dm in enumerate(models):
@@ -92,7 +93,8 @@ def simultaneous_fusion_batched(models, proposals_per_model, mesh,
 
 def simultaneous_fusion_pool(models, proposals_per_model, mesh, *,
                              maxiter=1000, max_relgap=1e-4, check_every=50,
-                             max_retries=1, on_progress=None):
+                             max_retries=1, on_progress=None,
+                             compact=False):
     """Production multi-pair driver: per-pair convergence and eviction.
 
     A fixed pool of B = mesh 'batch'-axis slots runs chunks of
@@ -180,7 +182,7 @@ def simultaneous_fusion_pool(models, proposals_per_model, mesh, *,
                 res = mesh_mod.sharded_solve(
                     mesh, unary, D0, Q, alphas, kernel=kernel, tol=tol,
                     maxiter=check_every, max_relgap=max_relgap,
-                    messages=msgs, check_every=check_every)
+                    messages=msgs, check_every=check_every, compact=compact)
                 jax.block_until_ready(res.energy)
                 break
             except Exception as exc:  # transient backend drop: retry, then bail

@@ -76,13 +76,18 @@ def sharded_solve(
     max_relgap: float = 1e-4,
     messages: jax.Array | None = None,
     check_every: int = 1,
+    compact: bool = False,
 ):
     """TRW-S solve with fields sharded over the mesh's 'x' axis.
 
     Batched inputs (leading stereo-pair axis) are vmapped over 'batch'.
     ``messages`` warm-starts the dual state (e.g. carried across pooled
-    chunks); ``check_every`` amortizes the decode.  Returns a TRWSResult
-    with device-sharded members.
+    chunks); ``check_every`` amortizes the decode.  ``compact`` runs the
+    checkerboard-compacted sweeps (ops/checker.py) — pure-XLA rolls/selects,
+    so the SPMD partitioner shards it exactly like the standard path (the
+    compaction is along H, the sharded axis is W) at ~half the sweep
+    compute; sharded-vs-single-device stays bitwise *for matching compact
+    settings*.  Returns a TRWSResult with device-sharded members.
     """
     batched = unary.ndim == 4
     specs = field_specs(batched)
@@ -113,7 +118,7 @@ def sharded_solve(
         return trws.solve(u, d0, q, al, kernel=kernel, tol=tol,
                           maxiter=maxiter, max_relgap=max_relgap,
                           messages=msg, check_every=check_every,
-                          use_pallas=False)
+                          use_pallas=False, compact=compact)
 
     base = jax.vmap(single) if batched else single
     if messages is None:

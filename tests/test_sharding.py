@@ -38,6 +38,28 @@ def test_sharded_equals_single_device(inputs, batch, x):
     np.testing.assert_array_equal(np.asarray(res.labels), np.asarray(ref.labels))
 
 
+@pytest.mark.parametrize("batch,x", [(1, 8), (2, 4)])
+def test_sharded_compact_equals_single_device(inputs, batch, x):
+    """The compacted sweeps (ops/checker.py) partition over the 'x' axis
+    exactly like the standard path: sharded == single-device for matching
+    compact settings."""
+    theta, D0, Q, alphas = inputs
+    ref = trws.solve(theta, D0, Q, alphas, kernel=1, tol=1.0, maxiter=6,
+                     max_relgap=0.0, compact=True)
+
+    m = mesh_mod.make_mesh(batch * x, batch=batch)
+    res = mesh_mod.sharded_solve(m, theta, D0, Q, alphas, kernel=1, tol=1.0,
+                                 maxiter=6, max_relgap=0.0, compact=True)
+    assert float(res.energy) == pytest.approx(float(ref.energy), rel=1e-12)
+    assert float(res.lower_bound) == pytest.approx(float(ref.lower_bound),
+                                                   rel=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.labels),
+                                  np.asarray(ref.labels))
+    np.testing.assert_allclose(np.asarray(res.messages),
+                               np.asarray(ref.messages), rtol=1e-12,
+                               atol=1e-12)
+
+
 def test_batched_pairs_over_mesh(inputs):
     theta, D0, Q, alphas = inputs
     # two stereo "pairs": the same problem and a scaled copy
