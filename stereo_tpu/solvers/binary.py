@@ -202,23 +202,49 @@ def _k2_energy(z, theta0, theta1, V):
     return E
 
 
+def _shift_in(v, k, axis, fill):
+    """Bring ``v[i - k]`` to position ``i`` along ``axis`` (k may be
+    negative); vacated entries get ``fill``.  Slice + pad, no wrap."""
+    n = v.shape[axis]
+    if k >= 0:
+        s = jax.lax.slice_in_dim(v, 0, n - k, axis=axis)
+        pads = [(0, 0)] * v.ndim
+        pads[axis] = (k, 0)
+    else:
+        s = jax.lax.slice_in_dim(v, -k, n, axis=axis)
+        pads = [(0, 0)] * v.ndim
+        pads[axis] = (0, -k)
+    return jnp.pad(s, pads, constant_values=fill)
+
+
 def _segmented_min_scan(m, live, axis, reverse):
     """Running min of ``m`` within contiguous runs of ``live`` along ``axis``.
 
     Dead (not live) entries break runs.  Associative monoid on (min, wall):
-    combine(a, b) = (b.wall ? b.min : min(a.min, b.min), a.wall | b.wall) —
-    O(log n) steps of pure vector ops, no gathers (TPU gathers serialize).
+    combine(a, b) = (b.wall ? b.min : min(a.min, b.min), a.wall | b.wall),
+    computed by explicit shift-doubling — identical results to
+    ``lax.associative_scan`` over that monoid, but each of the log2(n) steps
+    is two padded shifts + select/min (XLA fuses them into one pass),
+    instead of the scan's slice/concat recursion (~3x the wall-clock of this
+    form in the connected-components flood, the dominant cost of a fusion
+    move's per-component acceptance).
     """
-    wall = ~live
-
-    def combine(a, b):
-        am, aw = a
-        bm, bw = b
-        return jnp.where(bw, bm, jnp.minimum(am, bm)), aw | bw
-
-    out, _ = jax.lax.associative_scan(
-        combine, (m, wall), axis=axis, reverse=reverse)
-    return out
+    big = (jnp.iinfo(m.dtype).max if jnp.issubdtype(m.dtype, jnp.integer)
+           else jnp.inf)
+    v = m
+    b = ~live
+    n = m.shape[axis]
+    k = 1
+    d = -1 if reverse else 1
+    while k < n:
+        # prefix contribution from distance k: identity (big, False) when
+        # out of range, so border lanes keep their value
+        vs = _shift_in(v, d * k, axis, big)
+        bs = _shift_in(b, d * k, axis, False)
+        v = jnp.where(b, v, jnp.minimum(v, vs))
+        b = b | bs
+        k *= 2
+    return v
 
 
 def connected_components(z: jax.Array) -> jax.Array:
