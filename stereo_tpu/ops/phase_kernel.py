@@ -114,8 +114,12 @@ def phase_messages_compact_pallas(gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
     from jax.experimental.pallas import tpu as pltpu
 
     K, Hc, W = gD_s.shape
+    # VMEM: 26K+24 in/out tile planes, double-buffered by the Mosaic
+    # pipeline; stay under the 16 MB scoped limit with headroom (measured:
+    # K=15, th=8, tw=512 allocates 16.28 MB and is rejected by Mosaic).
+    planes = 2 * (26 * K + 24)
     cands = [tw for tw in (512, 384, 256, 128)
-             if 30 * K * th * tw * 4 <= 10 * 1024 * 1024]
+             if planes * th * tw * 4 <= 11.5 * 1024 * 1024]
     if not cands:
         cands = [128]
     tw = min(cands, key=lambda t: (-(-W // t) * t, -t))
