@@ -320,10 +320,12 @@ def accept_components(z, theta0, theta1, V):
         # the tail pixel
         delta = delta + geometry.shift_from_neighbor(push, OPP[d], fill=0.0)
 
+    # comp is always in [0, N] by construction: promise_in_bounds lets XLA
+    # drop the clamp logic from the scatter-add and the verdict gather
     sums = jnp.zeros((N + 1,), acc_t).at[comp.reshape(-1)].add(
-        delta.reshape(-1))
+        delta.reshape(-1), mode="promise_in_bounds")
     good = sums <= 0.0
-    return z & good[comp]
+    return z & good.at[comp].get(mode="promise_in_bounds")
 
 
 def binary_fuse(
