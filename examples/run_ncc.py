@@ -49,10 +49,11 @@ def main():
         proposals.append(geometry.fronto_parallel(H, W, float(d), dm.dtype))
     print(f"{len(proposals)} proposals in {time.perf_counter()-t0:.2f}s")
 
-    # iterative binary fusion (example_ncc.m:44-49)
+    # iterative binary fusion (example_ncc.m:44-49) — the whole proposal
+    # stream scans inside one device program (identical math to per-move
+    # binary_fusion; no host round-trips between moves)
     t0 = time.perf_counter()
-    for i, P in enumerate(proposals):
-        e, lb = dm.binary_fusion(P)
+    dm.binary_fusion_sweep(proposals, chunk=len(proposals))
     t_fuse = time.perf_counter() - t0
     single_energy = dm.energy()
     print(f"iterative fusion: E = {single_energy:.6g} "

@@ -202,10 +202,21 @@ class DispMap:
         raise NotImplementedError
 
     def binary_fuse_until_convergence(self, proposals, seed: int = 0,
-                                      verbose: bool = False) -> int:
+                                      verbose: bool = False,
+                                      chunk: int = 32) -> int:
         """Randomized sweep until no proposal improves the energy
         (dispmap_super.m:85-152).  Deterministic given ``seed`` (the
         reference's MATLAB rand stream is replaced by an explicit PRNG).
+
+        Device-backend moves run ``chunk`` at a time through the jitted
+        _fusion_sweep scan (the binary_fusion_sweep fast path: no host
+        round-trips between moves).  The visited-set bookkeeping is applied
+        post-hoc from the chunk's energy trace; the only divergence from the
+        per-move loop is that skip decisions use chunk-start knowledge, and
+        re-fusing a proposal already visited since the last improvement is a
+        provable no-op (the assignment is unchanged since its no-change
+        move), so the sequence of assignment-*changing* moves — and the
+        final labeling — is identical to the per-move driver.
         """
         n = len(proposals)
         rng = np.random.default_rng(seed)
@@ -216,20 +227,67 @@ class DispMap:
 
         visited = np.zeros(n, dtype=bool)
         energies = [self.energy()]
-        for it in range(min(self.maxiter, len(ids))):
-            pid = int(ids[it])
-            if visited[pid]:
+
+        if self.fusion_backend == "host":
+            # exact QPBO path (honors ``improve``): per-move host solves
+            for it in range(min(self.maxiter, len(ids))):
+                pid = int(ids[it])
+                if visited[pid]:
+                    continue
+                self.binary_fusion(proposals[pid])
+                energies.append(self.energy())
+                if energies[-1] != energies[-2]:
+                    visited[:] = False
+                else:
+                    visited[pid] = True
+                if verbose:
+                    print(f"fuse #{it} proposal {pid}: E = {energies[-1]:.6g}")
+                if visited.all():
+                    break
+            return len(energies)
+
+        unary_p = self.unary_partial()
+        stack_all = jnp.stack(
+            [jnp.asarray(p, self.dtype) for p in proposals], 0)
+        chunk = min(chunk, max(8, n))
+        pos = 0
+        moves = 0
+        while (moves < self.maxiter and pos < len(ids)
+               and not visited.all()):
+            batch = []
+            while pos < len(ids) and len(batch) < min(chunk,
+                                                      self.maxiter - moves):
+                pid = int(ids[pos])
+                pos += 1
+                if not visited[pid]:
+                    batch.append(pid)
+            if not batch:
                 continue
-            self.binary_fusion(proposals[pid])
-            energies.append(self.energy())
-            if energies[-1] != energies[-2]:
-                visited[:] = False
-            else:
-                visited[pid] = True
-            if verbose:
-                print(f"fuse #{it} proposal {pid}: E = {energies[-1]:.6g}")
-            if visited.all():
-                break
+            moves += len(batch)
+            n_live = len(batch)
+            # pad to the compiled chunk shape with no-op repeats of the last
+            # proposal (a proposal re-fused immediately cannot change the
+            # labeling; padded trace entries are ignored below)
+            batch += [batch[-1]] * (chunk - n_live)
+            sub = stack_all[jnp.asarray(batch)]
+            with self.timings.phase("binary_fusion_sweep"):
+                fused, es, _ = _fusion_sweep(
+                    self._assignment, sub, self.smooth_weights,
+                    self.smoothness_kernel, self.tol, self.normalize,
+                    unary_p)
+                jax.block_until_ready(es)
+            self._assignment = fused
+            es = np.asarray(es, np.float64)
+            for i in range(n_live):
+                pid = batch[i]
+                energies.append(float(es[i]))
+                if energies[-1] != energies[-2]:
+                    visited[:] = False
+                else:
+                    visited[pid] = True
+                if verbose:
+                    print(f"fuse proposal {pid}: E = {energies[-1]:.6g}")
+        self._stored_energy = energies[-1]
         return len(energies)
 
     # device executions are chunked so no single XLA invocation runs for

@@ -114,12 +114,15 @@ def phase_messages_compact_pallas(gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
     from jax.experimental.pallas import tpu as pltpu
 
     K, Hc, W = gD_s.shape
-    # VMEM: 26K+24 in/out tile planes, double-buffered by the Mosaic
-    # pipeline; stay under the 16 MB scoped limit with headroom (measured:
-    # K=15, th=8, tw=512 allocates 16.28 MB and is rejected by Mosaic).
-    planes = 2 * (26 * K + 24)
+    # VMEM: 31K+24 in/out tile planes (in_specs: 3 K-plane k3 + 5 4K-plane k4
+    # + 4*4 aux p3; out_specs: 2 k4 + 2 p3), double-buffered by the Mosaic
+    # pipeline.  Cap at 13.5 MiB under the 16 MB scoped limit — calibrated by
+    # measurement: K=15, th=8, tw=512 (16.03 MB by this count) allocates
+    # 16.28 MB and is rejected by Mosaic, while every config admitted by the
+    # round-3 nominal budget (true size <= 13.6 MB) compiled and ran.
+    planes = 2 * (31 * K + 24)
     cands = [tw for tw in (512, 384, 256, 128)
-             if planes * th * tw * 4 <= 11.5 * 1024 * 1024]
+             if planes * th * tw * 4 <= 13.5 * 1024 * 1024]
     if not cands:
         cands = [128]
     tw = min(cands, key=lambda t: (-(-W // t) * t, -t))

@@ -207,20 +207,28 @@ def _y_lanes_back(v, spec, yb):
     return _from_blocks(full, spec)
 
 
-def banded_gamma(spec, dtype=jnp.float32):
+def banded_gamma(spec, dtype=jnp.float32, row0=0, Himg=None):
     """gamma = 1/max(nFwd, nBwd) under the banded order, [H, W].
 
     Each neighbor pair carries two directed edges, so n* = 2 * #neighbors on
-    that side; seam neighbors swap sides relative to raster order."""
+    that side; seam neighbors swap sides relative to raster order.
+
+    ``row0``/``Himg`` place the spec's rows inside a taller image (the
+    gy-stripe decomposition of solvers/banded_dist.py): neighbor existence is
+    judged against global row indices ``row0 + y`` in an ``Himg``-row image,
+    so a stripe's gammas equal the matching rows of the full-image gammas
+    bitwise.  ``row0`` may be a traced scalar (shard_map axis_index)."""
     H, W, Bh, Bw = spec.H, spec.W, spec.Bh, spec.Bw
-    ys = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32)
+    if Himg is None:
+        Himg = H
+    ys = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32) + row0
     xs = jnp.ones((H, 1), jnp.int32) * jnp.arange(W)[None, :]
     yb = ys % Bh
     xb = xs % Bw
     has_l = xs >= 1
     has_r = xs <= W - 2
     has_u = ys >= 1
-    has_d = ys <= H - 2
+    has_d = ys <= Himg - 2
     # later neighbors: interior right/down, seam left/up
     n_f = ((has_r & (xb < Bw - 1)).astype(dtype)
            + (has_d & (yb < Bh - 1)).astype(dtype)
@@ -242,14 +250,29 @@ GROUP_B = (LT, UP)
 
 
 class _BandedProblem:
-    """Skewed, t-leading problem data + static masks for the banded order."""
+    """Skewed, t-leading problem data + static masks for the banded order.
 
-    def __init__(self, theta, D0, Q, alphas, spec: BandedSpec, kernel, tol):
+    ``stripe=(row0, Himg, has_above, has_below)`` builds the problem as one
+    gy-stripe of a taller ``Himg``-row image starting at global row ``row0``
+    (solvers/banded_dist.py): validity/seam masks and gammas are judged
+    against global row indices, and the stripe-border y-seam edges (to the
+    stripes above/below) become live side-array entries.  ``row0`` and the
+    has_* flags may be traced scalars (shard_map axis_index); default None
+    reproduces the single-device problem exactly."""
+
+    def __init__(self, theta, D0, Q, alphas, spec: BandedSpec, kernel, tol,
+                 stripe=None):
         K, H, W = theta.shape
         dtype = theta.dtype
         self.spec = spec
         self.K, self.kernel, self.tol = K, kernel, tol
         self.dtype = dtype
+        if stripe is None:
+            row0, Himg = 0, H
+            has_above = has_below = jnp.zeros((), bool)
+        else:
+            row0, Himg, has_above, has_below = stripe
+        self.stripe = stripe
         Bh, Bw, Gy, Gx, nb = spec.Bh, spec.Bw, spec.Gy, spec.Gx, spec.nb
 
         tc = lambda a: to_cols(a, spec)
@@ -260,19 +283,19 @@ class _BandedProblem:
         self.aA = tc(jnp.stack([alphas[d] for d in GROUP_A], 0))
         self.aB = tc(jnp.stack([alphas[d] for d in GROUP_B], 0))
 
-        ys = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32)
+        ys = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32) + row0
         xs = jnp.ones((H, 1), jnp.int32) * jnp.arange(W)[None, :]
         yb, xb = ys % Bh, xs % Bw
-        inim = jnp.ones((H, W), bool)
+        inim = ys < Himg  # [H, W] (stripe pad rows masked; else all-true)
         # interior (non-seam) directed-edge validity, image space
-        vLT = (xs >= 1) & (xb > 0)
-        vRT = (xs <= W - 2) & (xb < Bw - 1)
-        vUP = (ys >= 1) & (yb > 0)
-        vDN = (ys <= H - 2) & (yb < Bh - 1)
+        vLT = (xs >= 1) & (xb > 0) & inim
+        vRT = (xs <= W - 2) & (xb < Bw - 1) & inim
+        vUP = (ys >= 1) & (yb > 0) & inim
+        vDN = (ys <= Himg - 2) & (yb < Bh - 1) & inim
         self.vA = tc(jnp.stack([vRT, vDN], 0).astype(dtype))
         self.vB = tc(jnp.stack([vLT, vUP], 0).astype(dtype))
         self.pix = tc(inim.astype(dtype))  # [T+2, L]
-        self.gamma = tc(banded_gamma(spec, dtype))
+        self.gamma = tc(banded_gamma(spec, dtype, row0=row0, Himg=Himg))
 
         # ---- static seam data (side-array layouts) ----
         xl = lambda a, x: _x_lanes(a, spec, x)
@@ -299,12 +322,15 @@ class _BandedProblem:
         lane_b = lane % nb
         lane_gy = lane_b // Gx
         lane_gx = lane_b % Gx
-        yimg = lane_gy * Bh + self.lane_yb  # image row of lane's node
-        self.has_up = lane_gy > 0  # [L] (for yb = 0 group reads)
-        self.has_dn = lane_gy < Gy - 1  # (for yb = Bh-1 group reads)
+        yimg = row0 + lane_gy * Bh + self.lane_yb  # image row of lane's node
+        # [L] whether the lane's node has a real neighbor across the y-seam
+        # above/below (stripe borders live when a neighbor stripe exists)
+        self.has_up = (lane_gy > 0) | ((lane_gy == 0) & has_above)
+        self.has_dn = ((lane_gy < Gy - 1)
+                       | ((lane_gy == Gy - 1) & has_below))
         # node-level static validity of the seam edge buffers (lane layout)
-        self.vSxL = (lane_gx > 0) & (yimg < H) & (lane_gx * Bw < W)
-        self.vSxR = ((lane_gx < Gx - 1) & (yimg < H)
+        self.vSxL = (lane_gx > 0) & (yimg < Himg) & (lane_gx * Bw < W)
+        self.vSxR = ((lane_gx < Gx - 1) & (yimg < Himg)
                      & ((lane_gx + 1) * Bw < W))
         lane2 = jnp.arange(spec.Lp)
         l2_xb = (lane2 // nb).astype(jnp.int32)
@@ -314,8 +340,13 @@ class _BandedProblem:
         ximg2 = l2_gx * Bw + l2_xb
         in2 = (lane2 < spec.L2) & (ximg2 < W)
         self.l2_grp = l2_xb
-        self.vSyU = in2 & (l2_gy > 0) & (l2_gy * Bh < H)
-        self.vSyD = in2 & (l2_gy < Gy - 1) & ((l2_gy + 1) * Bh < H)
+        # seam-edge validity: the pair's lower node pD must be a real pixel
+        # (every block-row holds >= 1 real row, so a live neighbor stripe
+        # implies pD's row < Himg at the stripe border)
+        self.vSyU = (in2 & ((l2_gy > 0) | has_above)
+                     & (row0 + l2_gy * Bh < Himg))
+        self.vSyD = (in2 & ((l2_gy < Gy - 1) | ((l2_gy == Gy - 1) & has_below))
+                     & (row0 + (l2_gy + 1) * Bh < Himg))
 
     def col(self, a, c):
         return lax.dynamic_index_in_dim(a, c, axis=0, keepdims=False)

@@ -277,11 +277,17 @@ def connected_components(z: jax.Array) -> jax.Array:
             bad = bad | jnp.any(z & zn & (comp != cn))
         return bad
 
+    # Cap the rounds at H + W (covers any spiral; real masks take 1-3).  An
+    # early exit can split a component into edge-adjacent pieces — still safe:
+    # accept_components then decides the pieces independently, and the
+    # never-increase backstop in binary_fuse guards the (pathological) case
+    # where that split accept would be worse than keeping the incumbent.
     comp = flood(comp0)
-    comp, _ = jax.lax.while_loop(
-        lambda state: state[1],
-        lambda state: (lambda c: (c, not_uniform(c)))(flood(state[0])),
-        (comp, not_uniform(comp)),
+    comp, _, _ = jax.lax.while_loop(
+        lambda state: state[1] & (state[2] < H + W),
+        lambda state: (lambda c: (c, not_uniform(c), state[2] + 1))(
+            flood(state[0])),
+        (comp, not_uniform(comp), jnp.zeros((), jnp.int32)),
     )
     return comp
 

@@ -43,6 +43,10 @@ _PAIRS = {
     # example_global.m:17-20 / example_simultaneous.m:15-18
     "teddy": dict(disp_range=(0, 59), disparity_factor=4, p_shift=-0.25),
     "baby2": dict(disp_range=(0, 85), disparity_factor=3, p_shift=-0.25),
+    # synthetic pair with bundled exact GT (tools/make_synth_pair.py) — the
+    # bad-pixel metric's end-to-end fixture; Middlebury GT itself is a
+    # runtime download in the reference (download_stereo.m) and absent here
+    "synth": dict(disp_range=(0, 16), disparity_factor=8, p_shift=-0.125),
 }
 
 

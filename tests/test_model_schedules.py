@@ -52,3 +52,48 @@ def test_unknown_schedule_rejected(setup):
     with pytest.raises(ValueError):
         DispMapNCC(images, np.arange(0, 7), kernel=1, unary_weight=40.0,
                    tol=8.0, schedule="zigzag")
+
+
+def test_chunked_until_convergence_matches_per_move(setup):
+    """binary_fuse_until_convergence routes through the chunked
+    _fusion_sweep scan; the sequence of assignment-changing moves — and so
+    the final labeling/energy — must equal the per-move driver's."""
+    images, H, W = setup
+    proposals = [geometry.fronto_parallel(H, W, float(d), None)
+                 for d in range(0, 7, 2)]
+
+    def fresh():
+        dm = DispMapNCC(images, np.arange(0, 7), kernel=1, unary_weight=40.0,
+                        tol=8.0)
+        dm.maxiter = 50
+        return dm
+
+    # per-move reference: the r3 sequential loop, inlined
+    dm_ref = fresh()
+    n = len(proposals)
+    rng = np.random.default_rng(7)
+    ids = np.concatenate([np.arange(n), rng.integers(0, n, dm_ref.maxiter * 5)])
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = np.diff(ids) != 0
+    ids = ids[keep]
+    visited = np.zeros(n, dtype=bool)
+    energies = [dm_ref.energy()]
+    for it in range(min(dm_ref.maxiter, len(ids))):
+        pid = int(ids[it])
+        if visited[pid]:
+            continue
+        dm_ref.binary_fusion(proposals[pid])
+        energies.append(dm_ref.energy())
+        if energies[-1] != energies[-2]:
+            visited[:] = False
+        else:
+            visited[pid] = True
+        if visited.all():
+            break
+
+    for chunk in (3, 8):
+        dm = fresh()
+        dm.binary_fuse_until_convergence(proposals, seed=7, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(dm.assignment),
+                                      np.asarray(dm_ref.assignment))
+        assert dm.energy() == pytest.approx(dm_ref.energy(), rel=1e-6)

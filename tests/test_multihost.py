@@ -31,8 +31,9 @@ def single_process_reference():
             int(labels.astype(np.int64).sum()))
 
 
-@pytest.mark.timeout(300)
 def test_two_process_solve_matches_single():
+    # NB: no pytest-timeout in this image — the real guards are the
+    # subprocess.run(timeout=240) below and the kill-on-timeout in finally.
     e1, lb1, it1, ck1 = single_process_reference()
 
     env = {k: v for k, v in os.environ.items()
@@ -48,7 +49,11 @@ def test_two_process_solve_matches_single():
             capture_output=True, text=True, timeout=240,
         )
     finally:
-        p1.wait(timeout=60)
+        try:
+            p1.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            p1.kill()  # exact PID — never mask the primary assertion
+            p1.wait()
     m = re.search(r"MULTIHOST ([-\d.]+) ([-\d.]+) (\d+) (-?\d+)", out.stdout)
     assert m, f"no result line; stdout={out.stdout!r} stderr={out.stderr[-500:]!r}"
     e2, lb2, it2, ck2 = (float(m.group(1)), float(m.group(2)),

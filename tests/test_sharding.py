@@ -196,3 +196,69 @@ def test_pool_failure_graceful(monkeypatch):
     assert all(r["status"] == "failed" for r in out)
     for dm, b in zip(models, before):
         np.testing.assert_array_equal(np.asarray(dm.assignment), b)
+
+
+# ------------------------------------------------------- banded gy-stripes
+def _banded_ref_and_dist(H, W, K, Bh, Bw, kernel, n, sweeps, dec, seed=0,
+                         warm=False):
+    from stereo_tpu.solvers import banded, banded_dist
+
+    rng = np.random.default_rng(seed)
+    theta, D0, Q, alphas = (jnp.asarray(x)
+                            for x in oracles.grid_trws_inputs(rng, H, W, K))
+    run = banded.BandedRun(theta, D0, Q, alphas, kernel=kernel, tol=1.0,
+                           Bh=Bh, Bw=Bw, use_pallas=False)
+    st = run.init_state()
+    msgs_in = None
+    if warm:
+        st, _, _, _ = run.run(st, 2, 2)
+        msgs_in = run.messages(st)
+        st = run.init_state(msgs_in)
+    st, bestE, lb, bestL = run.run(st, sweeps, dec)
+
+    mesh = banded_dist.make_y_mesh(n)
+    res = banded_dist.sharded_banded_run(
+        mesh, theta, D0, Q, alphas, kernel=kernel, tol=1.0, Bh=Bh, Bw=Bw,
+        sweeps=sweeps, decode_every=dec, messages=msgs_in)
+    return (bestE, lb, bestL, run.messages(st)), res
+
+
+@pytest.mark.parametrize("n,Bh,Bw,kernel", [(2, 4, 4, 1), (4, 4, 4, 1),
+                                            (8, 2, 3, 2), (4, 4, 5, 2)])
+def test_sharded_banded_equals_single_device(n, Bh, Bw, kernel):
+    """Banded TRW-S over gy stripes: labels bitwise-equal to the
+    single-device solver; messages to reassociation noise (different XLA
+    programs may contract FMAs differently — observed <= 1 ulp)."""
+    H, W, K = 32, 13, 4  # ragged W (x-padding exercised in every config)
+    ref, res = _banded_ref_and_dist(H, W, K, Bh, Bw, kernel, n,
+                                    sweeps=6, dec=3)
+    bestE, lb, bestL, msgs = ref
+    np.testing.assert_array_equal(np.asarray(res.labels), np.asarray(bestL))
+    np.testing.assert_allclose(np.asarray(res.messages), np.asarray(msgs),
+                               rtol=0, atol=1e-12)
+    assert float(res.energy) == pytest.approx(float(bestE), rel=1e-12)
+    assert float(res.lower_bound) == pytest.approx(float(lb), rel=1e-9)
+
+
+def test_sharded_banded_ragged_rows_and_warm_start():
+    """Last stripe carries the image's padded rows; warm-started messages
+    round-trip through the stripe layout bitwise."""
+    ref, res = _banded_ref_and_dist(30, 11, 3, 4, 4, 1, n=4, sweeps=4,
+                                    dec=2, seed=3, warm=True)
+    bestE, lb, bestL, msgs = ref
+    np.testing.assert_array_equal(np.asarray(res.labels), np.asarray(bestL))
+    np.testing.assert_allclose(np.asarray(res.messages), np.asarray(msgs),
+                               rtol=0, atol=1e-12)
+    assert float(res.energy) == pytest.approx(float(bestE), rel=1e-12)
+
+
+def test_sharded_banded_rejects_uneven_stripes():
+    from stereo_tpu.solvers import banded_dist
+
+    rng = np.random.default_rng(0)
+    theta, D0, Q, alphas = (jnp.asarray(x)
+                            for x in oracles.grid_trws_inputs(rng, 12, 8, 3))
+    mesh = banded_dist.make_y_mesh(8)
+    with pytest.raises(ValueError, match="block-rows"):
+        banded_dist.sharded_banded_run(mesh, theta, D0, Q, alphas, kernel=1,
+                                       tol=1.0, Bh=2, Bw=4, sweeps=2)
