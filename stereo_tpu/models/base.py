@@ -114,7 +114,7 @@ class DispMap:
                 self._assignment, proposal,
                 self.unary_map(self._assignment), self.unary_map(proposal),
                 self.smooth_weights, self.smoothness_kernel, self.tol,
-                self.normalize,
+                self.normalize, 4 if self.improve else 0,
             )
             jax.block_until_ready(e)
         self._assignment = fused
@@ -423,10 +423,13 @@ def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p)
     return fused, es, lbs
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
-def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol, normalize):
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "normalize", "improve"))
+def _binary_fusion_step(current, proposal, U0, U1, weights, kernel, tol,
+                        normalize, improve=0):
     D0, Q = binary.fusion_problem(current, proposal, normalize)
-    res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol)
+    res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol,
+                             improve=improve)
     fused = energy.fuse_labelling(current, proposal, res.take)
     return fused, res.energy, res.lower_bound
 

@@ -100,6 +100,26 @@ def _kernel_compact(tol_ref, gD_ref, gDn_ref, Ms_ref, Mo_ref, Qs_ref, Qo_ref,
         vmino_ref[d] = vminA
 
 
+def compact_tile_width(K: int, W: int, th: int = 8) -> int | None:
+    """Admissible tile width for the compact kernel, or None if no tile
+    fits the VMEM budget (large K — trws.solve then uses the standard
+    kernel, which carries 2*(18K+13) tile planes and fits to K ~ 95).
+
+    VMEM: 31K+24 in/out tile planes (in_specs: 3 K-plane k3 + 5 4K-plane k4
+    + 4*4 aux p3; out_specs: 2 k4 + 2 p3), double-buffered by the Mosaic
+    pipeline.  Cap at 13.5 MiB under the 16 MB scoped limit — calibrated by
+    measurement: K=15, th=8, tw=512 (16.03 MB by this count) allocates
+    16.28 MB and is rejected by Mosaic, while every config admitted by the
+    round-3 nominal budget (true size <= 13.6 MB) compiled and ran.
+    """
+    planes = 2 * (31 * K + 24)
+    cands = [tw for tw in (512, 384, 256, 128)
+             if planes * th * tw * 4 <= 13.5 * 1024 * 1024]
+    if not cands:
+        return None
+    return min(cands, key=lambda t: (-(-W // t) * t, -t))
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "th", "interpret"))
 def phase_messages_compact_pallas(gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
                                   a_s, a_o, valid_s, valid_o, tol,
@@ -114,18 +134,11 @@ def phase_messages_compact_pallas(gD_s, gDn, M_s, M_o, Q_s, Q_o, D0_s, D0_o,
     from jax.experimental.pallas import tpu as pltpu
 
     K, Hc, W = gD_s.shape
-    # VMEM: 31K+24 in/out tile planes (in_specs: 3 K-plane k3 + 5 4K-plane k4
-    # + 4*4 aux p3; out_specs: 2 k4 + 2 p3), double-buffered by the Mosaic
-    # pipeline.  Cap at 13.5 MiB under the 16 MB scoped limit — calibrated by
-    # measurement: K=15, th=8, tw=512 (16.03 MB by this count) allocates
-    # 16.28 MB and is rejected by Mosaic, while every config admitted by the
-    # round-3 nominal budget (true size <= 13.6 MB) compiled and ran.
-    planes = 2 * (31 * K + 24)
-    cands = [tw for tw in (512, 384, 256, 128)
-             if planes * th * tw * 4 <= 13.5 * 1024 * 1024]
-    if not cands:
-        cands = [128]
-    tw = min(cands, key=lambda t: (-(-W // t) * t, -t))
+    tw = compact_tile_width(K, W, th)
+    if tw is None:
+        raise ValueError(
+            f"compact phase kernel: no tile fits VMEM at K={K} "
+            f"(trws.solve auto-disables compact in this regime)")
     pad_h = (-Hc) % th
     pad_w = (-W) % tw
     if pad_h or pad_w:

@@ -768,11 +768,21 @@ class BandedRun:
     """
 
     def __init__(self, unary, positions, nbr_positions, alphas, *, kernel,
-                 tol, Bh, Bw, use_pallas=None):
+                 tol, Bh, Bw, use_pallas=None, decode: str = "banded"):
         K, H, W = unary.shape
         self.spec = BandedSpec(H, W, Bh, Bw)
         self.bp = _BandedProblem(unary, positions, nbr_positions, alphas,
                                  self.spec, kernel, tol)
+        # decode="raster": greedy decode under the *raster* order on this
+        # state's messages (wavefront.decode_raster) — long conditioning
+        # chains settle the near-ties the short banded chains oscillate on
+        # at large blocks (ROADMAP: B=128 findings), at ~one raster-column
+        # scan per decode.
+        if decode not in ("banded", "raster"):
+            raise ValueError(f"unknown decode {decode!r}")
+        self.decode = decode
+        self._inputs = (unary, positions, nbr_positions, alphas)
+        self._sk = None
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
@@ -805,14 +815,15 @@ class BandedRun:
         if decode_every is None or decode_every >= sweeps:
             decode_every = sweeps
         sweeps = (sweeps // decode_every) * decode_every
-        key = (sweeps, decode_every)
+        key = (sweeps, decode_every, self.decode)
         fn = self._chunk_cache.get(key)
         if fn is None:
             spec, K, kernel, tol = (self.spec, self.K, self.bp.kernel,
                                     self.bp.tol)
             n_seg = sweeps // decode_every
+            W = self.W
 
-            def chunk(tree, packed, state):
+            def chunk(tree, packed, sk_tree, state):
                 bp = self.bp.with_tree(tree)
                 if packed is not None:
                     from stereo_tpu.ops import banded_kernel as bk
@@ -823,11 +834,21 @@ class BandedRun:
                 else:
                     sweep = lambda s: _sweep_scan(bp, s)
 
+                def decode_fn(state):
+                    if sk_tree is None:
+                        return _decode_state(bp, state)
+                    from stereo_tpu.solvers import wavefront as wf
+
+                    sk = self._sk.with_tree(sk_tree)
+                    msgs = state_to_messages(state, bp)
+                    return wf.decode_raster(
+                        sk, wf.messages_to_groups(msgs, W))
+
                 def segment(carry, _):
                     state, bestE, bestL = carry
                     state, lbs = lax.scan(lambda s, _: sweep(s), state,
                                           jnp.arange(decode_every))
-                    labels, energy = _decode_state(bp, state)
+                    labels, energy = decode_fn(state)
                     better = energy < bestE
                     bestE = jnp.where(better, energy, bestE)
                     bestL = jnp.where(better, labels, bestL)
@@ -839,9 +860,17 @@ class BandedRun:
                     segment, (state, big, lab0), jnp.arange(n_seg))
                 return state, bestE, lbs[-1], bestL
 
-            fn = jax.jit(chunk, donate_argnums=2)
+            fn = jax.jit(chunk, donate_argnums=3)
             self._chunk_cache[key] = fn
-        return fn(self.bp.tree(), self._packed, state)
+        sk_tree = None
+        if self.decode == "raster":
+            if self._sk is None:
+                from stereo_tpu.solvers import wavefront as wf
+
+                self._sk = wf._Skewed(*self._inputs, self.bp.kernel,
+                                      self.bp.tol)
+            sk_tree = self._sk.tree()
+        return fn(self.bp.tree(), self._packed, sk_tree, state)
 
     def messages(self, state):
         return state_to_messages(state, self.bp)

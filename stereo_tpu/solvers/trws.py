@@ -359,9 +359,18 @@ def solve(
     # message variant once on its color's half-grid instead of both variants
     # everywhere + select — ~2x less sweep compute.  Decode/stop checks
     # expand back to the full grid (once per check_every sweeps).
+    # Auto-selection is VMEM-aware: the compact kernel's 2*(31K+24) tile
+    # planes stop fitting at K ~ 27 (e.g. the K=79 NCC workload) — the
+    # standard fused kernel (2*(18K+13) planes, fits to K ~ 95) takes over.
     if compact is None:
-        compact = (use_pallas if use_pallas is not None
-                   else jax.default_backend() == "tpu")
+        on_tpu = (use_pallas if use_pallas is not None
+                  else jax.default_backend() == "tpu")
+        if on_tpu:
+            from stereo_tpu.ops.phase_kernel import compact_tile_width
+
+            compact = compact_tile_width(K, W) is not None
+        else:
+            compact = False
     if compact:
         from stereo_tpu.ops import checker
 

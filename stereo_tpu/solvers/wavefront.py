@@ -182,6 +182,23 @@ class _Skewed:
     def col(self, a, c):
         return lax.dynamic_index_in_dim(a, c, axis=0, keepdims=False)
 
+    # array fields, for passing the problem through a jit boundary as
+    # arguments (closure-captured slabs inflate remote compile payloads —
+    # same pattern as banded._BandedProblem)
+    _ARRAY_FIELDS = ("theta", "D0", "QA", "QB", "aA", "aB", "vA", "vB",
+                     "pix", "gamma")
+
+    def tree(self):
+        return {f: getattr(self, f) for f in self._ARRAY_FIELDS}
+
+    def with_tree(self, tree):
+        import copy
+
+        sk = copy.copy(self)
+        for f, v in tree.items():
+            setattr(sk, f, v)
+        return sk
+
 
 def _set_col(M, c, value):
     return lax.dynamic_update_index_in_dim(M, value, c, axis=0)
@@ -199,6 +216,81 @@ def groups_to_messages(MA: jax.Array, MB: jax.Array, W: int) -> jax.Array:
     A = _tlead_inv(MA, W)  # [2, K, H, W]
     B = _tlead_inv(MB, W)
     return jnp.stack([B[0], A[0], B[1], A[1]], 0)  # LT, RT, UP, DN
+
+
+def decode_raster(sk: _Skewed, M):
+    """Greedy conditioned decode in raster order + exact energy.
+
+    Mirrors ComputeSolutionAndEnergy (minimize.cpp:223-264) under the raster
+    order on a message state M = (MA, MB) in t-leading group layout.  Usable
+    on any message state whose buffers follow the trws.py conventions — in
+    particular a *banded* solver's state after state_to_messages +
+    messages_to_groups: near convergence the duals agree across orderings,
+    and the raster order's long conditioning chains settle decode near-ties
+    that the short banded chains oscillate on (ROADMAP: B=128 findings).
+    Returns (labels [H, W] int32, energy)."""
+    MA, MB = M
+    T, kernel, tol = sk.T, sk.kernel, sk.tol
+    H, W = sk.H, sk.W
+    acc_t = jnp.promote_types(MA.dtype, jnp.float32)
+
+    def step(carry, t):
+        sol_prev, E = carry  # sol of padded column c-1, [H] int32
+        c = t + 1
+        th = sk.col(sk.theta, c)
+        D0c = sk.col(sk.D0, c)
+        pixc = sk.col(sk.pix, c)
+        QB_c = sk.col(sk.QB, c)
+        aB_c = sk.col(sk.aB, c)
+        vB_c = sk.col(sk.vB, c)
+        QA_p = sk.col(sk.QA, c - 1)
+        aA_p = sk.col(sk.aA, c - 1)
+        vA_p = sk.col(sk.vA, c - 1)
+        D0p = sk.col(sk.D0, c - 1)
+
+        # conditioned terms from earlier neighbors (left, up)
+        sol_l = sol_prev  # left nbr shares the skew row
+        sol_u = _shift_down(sol_prev)  # up nbr is skew row y-1
+        Db = th
+        # E(p, LT): V[sol_l, k_p] at p
+        Q_sel = jnp.take_along_axis(QB_c[0], sol_l[None, :], axis=0)[0]
+        Db = Db + aB_c[0][None, :] * truncated_kernel(
+            Q_sel[None, :] - D0c, kernel, tol) * vB_c[0][None, :]
+        # E(p, UP): V[sol_u, k_p] at p
+        Q_sel = jnp.take_along_axis(QB_c[1], sol_u[None, :], axis=0)[0]
+        Db = Db + aB_c[1][None, :] * truncated_kernel(
+            Q_sel[None, :] - D0c, kernel, tol) * vB_c[1][None, :]
+        # E(ln, RT): V[k_p, sol_l] at the left neighbor (col c-1)
+        D0_sel = jnp.take_along_axis(D0p, sol_l[None, :], axis=0)[0]
+        Db = Db + aA_p[0][None, :] * truncated_kernel(
+            QA_p[0] - D0_sel[None, :], kernel, tol) * vA_p[0][None, :]
+        # E(un, DN): V[k_p, sol_u] at the up neighbor — evaluate at the
+        # neighbor's own skew row (y-1) of column c-1, where sol_prev
+        # already holds its label, then shift down to row y.
+        D0_un_sel = jnp.take_along_axis(D0p, sol_prev[None, :], axis=0)[0]
+        t_un = aA_p[1][None, :] * truncated_kernel(
+            QA_p[1] - D0_un_sel[None, :], kernel, tol) * vA_p[1][None, :]
+        Db = Db + _shift_down(t_un)
+
+        # forward messages on later edges
+        Ac = sk.col(MA, c)
+        Bn = sk.col(MB, c + 1)
+        Di = Db + Ac[0] + Ac[1] + Bn[0] + _shift_up(Bn[1])
+
+        sol = jnp.argmin(Di, axis=0).astype(jnp.int32)
+        E = E + jnp.sum(
+            jnp.where(pixc > 0,
+                      jnp.take_along_axis(Db, sol[None, :], axis=0)[0],
+                      0.0), dtype=acc_t)
+        return (sol, E), sol
+
+    (last, E), sols = lax.scan(
+        step, (jnp.zeros((H,), jnp.int32), jnp.zeros((), acc_t)),
+        jnp.arange(T))
+    # sols: [T, H] — column t holds labels of padded col t+1
+    sols_sk = jnp.moveaxis(sols, 0, -1)  # [H, T]
+    labels = unskew(sols_sk, W)
+    return labels, E
 
 
 def _beliefs_col(sk: _Skewed, MA, MB, c, Ac=None, Bc=None):
@@ -308,66 +400,7 @@ def solve_wavefront(
         return (MA, MB), lb
 
     def decode(M):
-        """Greedy conditioned decode in raster order + exact energy."""
-        MA, MB = M
-
-        def step(carry, t):
-            sol_prev, E = carry  # sol of padded column c-1, [H] int32
-            c = t + 1
-            th = sk.col(sk.theta, c)
-            D0c = sk.col(sk.D0, c)
-            pixc = sk.col(sk.pix, c)
-            QB_c = sk.col(sk.QB, c)
-            aB_c = sk.col(sk.aB, c)
-            vB_c = sk.col(sk.vB, c)
-            QA_p = sk.col(sk.QA, c - 1)
-            aA_p = sk.col(sk.aA, c - 1)
-            vA_p = sk.col(sk.vA, c - 1)
-            D0p = sk.col(sk.D0, c - 1)
-
-            # conditioned terms from earlier neighbors (left, up)
-            sol_l = sol_prev  # left nbr shares the skew row
-            sol_u = _shift_down(sol_prev)  # up nbr is skew row y-1
-            Db = th
-            # E(p, LT): V[sol_l, k_p] at p
-            Q_sel = jnp.take_along_axis(QB_c[0], sol_l[None, :], axis=0)[0]
-            Db = Db + aB_c[0][None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * vB_c[0][None, :]
-            # E(p, UP): V[sol_u, k_p] at p
-            Q_sel = jnp.take_along_axis(QB_c[1], sol_u[None, :], axis=0)[0]
-            Db = Db + aB_c[1][None, :] * truncated_kernel(
-                Q_sel[None, :] - D0c, kernel, tol) * vB_c[1][None, :]
-            # E(ln, RT): V[k_p, sol_l] at the left neighbor (col c-1)
-            D0_sel = jnp.take_along_axis(D0p, sol_l[None, :], axis=0)[0]
-            Db = Db + aA_p[0][None, :] * truncated_kernel(
-                QA_p[0] - D0_sel[None, :], kernel, tol) * vA_p[0][None, :]
-            # E(un, DN): V[k_p, sol_u] at the up neighbor — evaluate at the
-            # neighbor's own skew row (y-1) of column c-1, where sol_prev
-            # already holds its label, then shift down to row y.
-            D0_un_sel = jnp.take_along_axis(D0p, sol_prev[None, :], axis=0)[0]
-            t_un = aA_p[1][None, :] * truncated_kernel(
-                QA_p[1] - D0_un_sel[None, :], kernel, tol) * vA_p[1][None, :]
-            Db = Db + _shift_down(t_un)
-
-            # forward messages on later edges
-            Ac = sk.col(MA, c)
-            Bn = sk.col(MB, c + 1)
-            Di = Db + Ac[0] + Ac[1] + Bn[0] + _shift_up(Bn[1])
-
-            sol = jnp.argmin(Di, axis=0).astype(jnp.int32)
-            E = E + jnp.sum(
-                jnp.where(pixc > 0,
-                          jnp.take_along_axis(Db, sol[None, :], axis=0)[0],
-                          0.0), dtype=acc_t)
-            return (sol, E), sol
-
-        (last, E), sols = lax.scan(
-            step, (jnp.zeros((H,), jnp.int32), jnp.zeros((), acc_t)),
-            jnp.arange(T))
-        # sols: [T, H] — column t holds labels of padded col t+1
-        sols_sk = jnp.moveaxis(sols, 0, -1)  # [H, T]
-        labels = unskew(sols_sk, W)
-        return labels, E
+        return decode_raster(sk, M)
 
     sweep_fn = None
     if use_pallas:

@@ -185,3 +185,36 @@ def test_banded_run_matches_solve():
                                       np.asarray(ref.labels))
     np.testing.assert_allclose(np.asarray(run.messages(state)),
                                np.asarray(msgs), rtol=1e-7, atol=1e-7)
+
+
+def test_banded_run_raster_decode():
+    """BandedRun(decode='raster'): the raster-order greedy decode on the
+    banded message state.  With one block the banded order IS the raster
+    order, so both decodes must agree bitwise; generically the returned
+    energy must be the true energy of the returned labels."""
+    from stereo_tpu.solvers import trws as trws_mod
+
+    rng = np.random.default_rng(2)
+    H, W, K = 14, 11, 4
+    theta, D0, Q, alphas = oracles.grid_trws_inputs(rng, H, W, K)
+    args = tuple(jnp.asarray(x) for x in (theta, D0, Q, alphas))
+
+    # degenerate single block: raster == banded order
+    rb = banded.BandedRun(*args, kernel=1, tol=1.0, Bh=H, Bw=W,
+                          use_pallas=False)
+    rr = banded.BandedRun(*args, kernel=1, tol=1.0, Bh=H, Bw=W,
+                          use_pallas=False, decode="raster")
+    _, eb, lbb, Lb = rb.run(rb.init_state(), 4, 2)
+    _, er, lbr, Lr = rr.run(rr.init_state(), 4, 2)
+    np.testing.assert_array_equal(np.asarray(Lb), np.asarray(Lr))
+    assert float(eb) == pytest.approx(float(er), rel=1e-12)
+    assert float(lbb) == pytest.approx(float(lbr), rel=1e-12)
+
+    # generic blocks: decode energy == true energy of the decoded labels
+    rg = banded.BandedRun(*args, kernel=1, tol=1.0, Bh=4, Bw=3,
+                          use_pallas=False, decode="raster")
+    _, eg, lbg, Lg = rg.run(rg.init_state(), 6, 3)
+    e_true = trws_mod.labeling_energy(jnp.asarray(np.asarray(Lg)), *args,
+                                      kernel=1, tol=1.0)
+    assert float(eg) == pytest.approx(float(e_true), rel=1e-10)
+    assert float(lbg) <= float(eg) + 1e-9
