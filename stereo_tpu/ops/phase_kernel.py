@@ -27,27 +27,47 @@ from stereo_tpu.energy import truncated_kernel
 
 def _kernel(tol_ref, gD_ref, gDs_ref, M_ref, Q_ref, D0_ref, alpha_ref,
             srcmask_ref, valid_ref, newM_ref, vmin_ref, *, kernel: int,
-            K: int):
+            K: int, KT: int = 8):
+    """All-direction phase messages, tile body.
+
+    The (i, j) label-pair table is walked j-outer / i-in-KT-blocks so the
+    live intermediates per step are [KT, th, tw] (one ``term`` block) rather
+    than [K, th, tw].  Measured at K=79 (v5e, 375x450, round 4): 28.2 vs
+    32.1 ms/sweep for the flat loop — ~12% from reduced spill pressure; the
+    kernel sits ~1.4x off the VPU flop roofline either way.  (NB: a
+    trws.solve *call* carries an eager fixed overhead that scales with K —
+    ~2.8 s at K=15, ~15 s at K=79, dominated by eager glue dispatches —
+    so per-sweep costs must be measured as marginals; jitted drivers like
+    _simultaneous_fusion_step do not pay it.)  min is exact (no rounding),
+    so the blocked reduction is bitwise-identical to the flat one.
+    """
     tol = tol_ref[0]
     D0 = D0_ref[...]  # [K, th, tw]
     gD = gD_ref[...]
     cdtype = gD.dtype  # compute dtype; messages may be stored narrower (bf16)
     src_is_head = srcmask_ref[0]  # [th, tw]
+    blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
     for d in range(4):
         alpha = alpha_ref[d]
         M = M_ref[d].astype(cdtype)
         Q = Q_ref[d]
         HB = gD - M  # [K, th, tw]
         HA = gDs_ref[d] - M
-        accB = None  # msgB[i] accumulates min over j
+        accB = [None] * len(blocks)  # msgB[i-block] accumulates min over j
         rowsA = []  # msgA[j]
         for j in range(K):
-            term = alpha[None] * truncated_kernel(Q - D0[j][None], kernel, tol)
-            rowsA.append(jnp.min(HA + term, axis=0))
-            contrib = HB[j][None] + term
-            accB = contrib if accB is None else jnp.minimum(accB, contrib)
+            rowA = None
+            for b, sl in enumerate(blocks):
+                term = alpha[None] * truncated_kernel(Q[sl] - D0[j][None],
+                                                      kernel, tol)
+                cB = HB[j][None] + term
+                accB[b] = cB if accB[b] is None else jnp.minimum(accB[b], cB)
+                pa = jnp.min(HA[sl] + term, axis=0)
+                rowA = pa if rowA is None else jnp.minimum(rowA, pa)
+            rowsA.append(rowA)
+        msgB = jnp.concatenate(accB, axis=0) if len(blocks) > 1 else accB[0]
         msgA = jnp.stack(rowsA, axis=0)
-        msg = jnp.where(src_is_head[None], accB, msgA)
+        msg = jnp.where(src_is_head[None], msgB, msgA)
         vmin = jnp.min(msg, axis=0)
         msg = (msg - vmin[None]) * valid_ref[d][None]
         newM_ref[d] = msg.astype(newM_ref.dtype)
@@ -69,17 +89,25 @@ def _kernel_compact(tol_ref, gD_ref, gDn_ref, Ms_ref, Mo_ref, Qs_ref, Qo_ref,
     D0s = D0s_ref[...]
     D0o = D0o_ref[...]
     cdtype = gD.dtype
+    KT = 8  # target-block size: live intermediates stay [KT, th, tw]
+    blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
     for d in range(4):
-        # variant B at s-heads: msg[i] = min_j HB[j] + a*TR(Q_i - D0_j)
+        # variant B at s-heads: msg[i] = min_j HB[j] + a*TR(Q_i - D0_j),
+        # computed one target block at a time (blocked min is bitwise the
+        # flat min; see _kernel)
         HB = gD - Ms_ref[d].astype(cdtype)
         Q = Qs_ref[d]
         alpha = as_ref[d]
-        accB = None
-        for j in range(K):
-            term = alpha[None] * truncated_kernel(Q - D0s[j][None], kernel,
-                                                  tol)
-            contrib = HB[j][None] + term
-            accB = contrib if accB is None else jnp.minimum(accB, contrib)
+        outB = []
+        for sl in blocks:
+            acc = None
+            for j in range(K):
+                term = alpha[None] * truncated_kernel(
+                    Q[sl] - D0s[j][None], kernel, tol)
+                contrib = HB[j][None] + term
+                acc = contrib if acc is None else jnp.minimum(acc, contrib)
+            outB.append(acc)
+        accB = jnp.concatenate(outB, axis=0) if len(blocks) > 1 else outB[0]
         vminB = jnp.min(accB, axis=0)
         newMs_ref[d] = ((accB - vminB[None])
                         * vs_ref[d][None]).astype(newMs_ref.dtype)
@@ -88,12 +116,16 @@ def _kernel_compact(tol_ref, gD_ref, gDn_ref, Ms_ref, Mo_ref, Qs_ref, Qo_ref,
         HA = gDn_ref[d] - Mo_ref[d].astype(cdtype)
         Q = Qo_ref[d]
         alpha = ao_ref[d]
-        rowsA = []
-        for j in range(K):
-            term = alpha[None] * truncated_kernel(Q - D0o[j][None], kernel,
-                                                  tol)
-            rowsA.append(jnp.min(HA + term, axis=0))
-        msgA = jnp.stack(rowsA, axis=0)
+        outA = []
+        for sl in blocks:
+            acc = None
+            for i in range(K):
+                term = alpha[None] * truncated_kernel(
+                    Q[i][None] - D0o[sl], kernel, tol)
+                contrib = HA[i][None] + term
+                acc = contrib if acc is None else jnp.minimum(acc, contrib)
+            outA.append(acc)
+        msgA = jnp.concatenate(outA, axis=0) if len(blocks) > 1 else outA[0]
         vminA = jnp.min(msgA, axis=0)
         newMo_ref[d] = ((msgA - vminA[None])
                         * vo_ref[d][None]).astype(newMo_ref.dtype)

@@ -774,10 +774,16 @@ class BandedRun:
         self.bp = _BandedProblem(unary, positions, nbr_positions, alphas,
                                  self.spec, kernel, tol)
         # decode="raster": greedy decode under the *raster* order on this
-        # state's messages (wavefront.decode_raster) — long conditioning
-        # chains settle the near-ties the short banded chains oscillate on
-        # at large blocks (ROADMAP: B=128 findings), at ~one raster-column
-        # scan per decode.
+        # state's messages (wavefront.decode_raster).  Measured (round 4) to
+        # be systematically WORSE than the banded-order decode — on baby2
+        # B=128 it plateaus ~8% above the host energy where the banded
+        # decode + incumbent reaches it in 900 sweeps, and on small problems
+        # it stays 0.3-2% above at convergence for every block size: the
+        # greedy conditioned decode is only meaningful under the ordering
+        # whose messages it reads (ComputeSolutionAndEnergy conditions on
+        # *this order's* forward messages, minimize.cpp:223-264).  Kept as
+        # the recorded refutation of ROADMAP's raster-decode candidate; the
+        # production oscillation fix is BandedRun's incumbent tracking.
         if decode not in ("banded", "raster"):
             raise ValueError(f"unknown decode {decode!r}")
         self.decode = decode

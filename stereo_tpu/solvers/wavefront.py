@@ -222,13 +222,14 @@ def decode_raster(sk: _Skewed, M):
     """Greedy conditioned decode in raster order + exact energy.
 
     Mirrors ComputeSolutionAndEnergy (minimize.cpp:223-264) under the raster
-    order on a message state M = (MA, MB) in t-leading group layout.  Usable
-    on any message state whose buffers follow the trws.py conventions — in
-    particular a *banded* solver's state after state_to_messages +
-    messages_to_groups: near convergence the duals agree across orderings,
-    and the raster order's long conditioning chains settle decode near-ties
-    that the short banded chains oscillate on (ROADMAP: B=128 findings).
-    Returns (labels [H, W] int32, energy)."""
+    order on a message state M = (MA, MB) in t-leading group layout.
+    Mechanically usable on any message state following the trws.py buffer
+    conventions, but NOTE the round-4 measurement (solvers/banded.py
+    BandedRun decode="raster"): applied to a *banded*-schedule state it
+    decodes systematically worse than that schedule's own decode — the
+    greedy conditioned decode is only meaningful under the ordering whose
+    forward messages it conditions on.  Returns (labels [H, W] int32,
+    energy)."""
     MA, MB = M
     T, kernel, tol = sk.T, sk.kernel, sk.tol
     H, W = sk.H, sk.W
