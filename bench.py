@@ -283,6 +283,84 @@ def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
     out["simultaneous_speedup_vs_host"] = round(t_host / t_tpu, 2)
 
     out["bad_pixel_synth_pct"] = round(bad_pixel_synth() * 100, 2)
+
+    try:
+        out["ncc_k79"] = run_k79()
+    except Exception as e:
+        out["ncc_k79"] = {"error": str(e)}
+    return out
+
+
+def run_k79(host_iters=60, chunk=5, band=128, max_sweeps=600):
+    """The large-K regime (SURVEY example_ncc: teddy, K=79 labels).
+
+    Round-4 measurements fixed the design here: the O(K) envelope DT stays
+    host-only (its per-update indirection costs more than the entire dense
+    K^2 update on TPU — ops/minplus.py records 169 ms/permutation-gather vs
+    4.18 ms for the whole dense K=79 update), and the checkerboard kernels
+    auto-fall-back to the standard (non-compact) fused kernel whose tiles
+    fit to K ~ 95 (28 ms/sweep at K=79, ~1.4x the VPU flop roofline).
+    This race pits the banded-schedule solver (scan path — the fused kernel
+    windows exceed VMEM at K=79) against the native serial O(K) host on the
+    real teddy-NCC simultaneous-fusion problem.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_tpu import geometry
+    from stereo_tpu.models.ncc import DispMapNCC
+    from stereo_tpu.solvers import banded, trws_host
+    from stereo_tpu.utils import io
+    from tools.measure_race import build_problem
+
+    pair = io.load_pair("teddy", dtype=np.float32)
+    dm = DispMapNCC(pair.images, np.arange(0, 51), kernel=1,
+                    unary_weight=40.0, tol=8.0)
+    H, W = dm.sz
+    proposals = []
+    for x in range(10, W + 1, 50):
+        for y in range(10, H + 1, 50):
+            proposals.append(dm.generate_new_plane_RANSAC(x, y, 5.0))
+    proposals += [geometry.fronto_parallel(H, W, float(d), dm.dtype)
+                  for d in range(0, 51, 10)]
+    unary, D0, Q, alphas = build_problem(dm, proposals)
+    K = unary.shape[0]
+    out = {"K": int(K)}
+
+    theta, tails, heads, q_src, q_dst, al = trws_host.grid_to_edges(
+        np.asarray(unary), np.asarray(D0), np.asarray(Q), np.asarray(alphas))
+    order = trws_host.raster_order(H, W)
+    t0 = time.perf_counter()
+    host = trws_host.solve(dm.smoothness_kernel, theta, tails, heads, q_src,
+                           q_dst, al, dm.tol, order, maxiter=host_iters,
+                           max_relgap=1e-5)
+    t_host = time.perf_counter() - t0
+    e_host = float(host[1])
+    out["host_iters"] = host_iters
+    out["host_s"] = round(t_host, 1)
+    out["host_energy"] = round(e_host, 1)
+
+    runner = banded.BandedRun(unary, D0, Q, alphas,
+                              kernel=dm.smoothness_kernel, tol=dm.tol,
+                              Bh=band, Bw=band)
+    st = runner.init_state()
+    st, e0, _, _ = runner.run(st, chunk, chunk)  # compile
+    jax.block_until_ready(e0)
+    st = runner.init_state()
+    t_tpu, swept, e_best = 0.0, 0, float("inf")
+    while swept < max_sweeps and e_best > e_host:
+        t0 = time.perf_counter()
+        st, e, lb, _ = runner.run(st, chunk, chunk)
+        jax.block_until_ready(e)
+        t_tpu += time.perf_counter() - t0
+        swept += chunk
+        e_best = min(e_best, float(e))
+    out["banded_block"] = band
+    out["tpu_sweeps"] = swept
+    out["tpu_s"] = round(t_tpu, 1)
+    out["tpu_energy"] = round(e_best, 1)
+    out["reached_host_energy"] = bool(e_best <= e_host)
+    out["speedup_vs_host"] = round(t_host / t_tpu, 1) if t_tpu > 0 else None
     return out
 
 

@@ -137,3 +137,107 @@ def minplus_pair(H_A, H_B, P, R, alpha, tol, kernel: int,
     if use_pallas:
         return minplus_pair_pallas(H_A, H_B, P, R, alpha, tol, kernel)
     return minplus_pair_xla(H_A, H_B, P, R, alpha, kernel, tol)
+
+
+# ---------------------------------------------------------------- send kernel
+def _send_kernel(tol_ref, hs_ref, p_ref, r_ref, alpha_ref, msg_ref, vmin_ref,
+                 *, kernel: int, K: int, KT: int = 8):
+    """msg[t] = min_s (hs[s] + alpha * TR(p[t] - r[s])), normalized.
+
+    2-D tiles [Kp, tl]; rows >= K are padding (hs rows preloaded with BIG by
+    the wrapper so they never win the source min; target rows >= K emit junk
+    that the wrapper crops, and vmin reduces over the real K rows only)."""
+    tol = tol_ref[0]
+    alpha = alpha_ref[0]  # [tl]
+    hs = hs_ref[...]  # [Kp, tl]
+    r = r_ref[...]
+    Kp = hs.shape[0]
+    for i0 in range(0, Kp, KT):
+        sl = slice(i0, min(i0 + KT, Kp))
+        pt = p_ref[sl]
+        acc = None
+        for s in range(K):
+            c = hs[s][None] + alpha[None] * truncated_kernel(
+                pt - r[s][None], kernel, tol)
+            acc = c if acc is None else jnp.minimum(acc, c)
+        msg_ref[sl] = acc
+    vmin = jnp.min(msg_ref[:K], axis=0)  # real target rows only
+    vmin_ref[0] = vmin
+    msg_ref[...] = msg_ref[...] - vmin[None]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "tl", "interpret"))
+def minplus_send_pallas(hs, p, r, alpha, tol, kernel: int, tl: int = 512,
+                        interpret: bool = False):
+    """One-variant fused send on column-shaped data.
+
+    hs/p/r: [K, L] (source heights, target positions, source positions);
+    alpha: [L].  Returns (msg [K, L] min-normalized, vmin [L]) — exactly
+    wavefront._send_head's math (and _send_tail's with p/r swapped; TR is
+    even, so the operand order is immaterial).  Values match the XLA path
+    to FP-contraction noise (~1-2 ulp: the compilers fuse a*TR+h into FMAs
+    differently), measured in tests.
+
+    Motivation: the scan-path solvers (banded/wavefront/banded_dist) spend
+    their sweeps in these sends; the XLA formulation materializes a
+    [K, K, L] intermediate per send (38 MB at K=79, L=1536), ~all of it
+    HBM traffic.  Here the K x K walk stays in VMEM ([KT, tl] blocks).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, L = hs.shape
+    Kp = -(-K // 8) * 8
+    tl = min(tl, -(-L // 128) * 128)
+    pad_l = (-L) % tl
+    Lp = L + pad_l
+    BIG = jnp.asarray(1e30, hs.dtype)
+    hs = jnp.pad(hs, ((0, Kp - K), (0, pad_l)), constant_values=BIG)
+    p = jnp.pad(p, ((0, Kp - K), (0, pad_l)))
+    r = jnp.pad(r, ((0, Kp - K), (0, pad_l)))
+    alpha = jnp.pad(alpha, ((0, pad_l),))
+
+    grid = (Lp // tl,)
+    kspec = pl.BlockSpec((Kp, tl), lambda l: (0, l), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, tl), lambda l: (0, l), memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    msg, vmin = pl.pallas_call(
+        functools.partial(_send_kernel, kernel=kernel, K=K),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[sm, kspec, kspec, kspec, aspec],
+        out_specs=[kspec, aspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Kp, Lp), hs.dtype),
+            jax.ShapeDtypeStruct((1, Lp), hs.dtype),
+        ],
+    )(jnp.asarray(tol, hs.dtype).reshape(1), hs, p, r, alpha[None])
+    return msg[:K, :L], vmin[0, :L]
+
+
+def minplus_send(hs, p, r, alpha, tol, kernel: int, min_k: int = 24):
+    """Batched dispatcher for minplus_send_pallas over leading dims.
+
+    hs/p/r: [..., K, L]; alpha: [..., L] (all mutually broadcastable).
+    Returns (msg, vmin) with the broadcast leading shape.  Returns None if
+    the fused path does not apply (non-TPU backend or K < min_k — at small
+    K the XLA formulation's intermediates are cheap and the extra dispatch
+    isn't worth it; measured win is the large-K regime).
+    """
+    K = hs.shape[-2]
+    if jax.default_backend() != "tpu" or K < min_k:
+        return None
+    lead = jnp.broadcast_shapes(hs.shape[:-2], p.shape[:-2], r.shape[:-2],
+                                alpha.shape[:-1])
+    L = hs.shape[-1]
+    hs = jnp.broadcast_to(hs, lead + (K, L)).reshape((-1, K, L))
+    p = jnp.broadcast_to(p, lead + (K, L)).reshape((-1, K, L))
+    r = jnp.broadcast_to(r, lead + (K, L)).reshape((-1, K, L))
+    alpha = jnp.broadcast_to(alpha, lead + (L,)).reshape((-1, L))
+    msgs, vmins = [], []
+    for b in range(hs.shape[0]):
+        m, v = minplus_send_pallas(hs[b], p[b], r[b], alpha[b], tol, kernel)
+        msgs.append(m)
+        vmins.append(v)
+    return (jnp.stack(msgs).reshape(lead + (K, L)),
+            jnp.stack(vmins).reshape(lead + (L,)))

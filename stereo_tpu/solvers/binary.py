@@ -292,14 +292,64 @@ def connected_components(z: jax.Array) -> jax.Array:
     return comp
 
 
-def accept_components(z, theta0, theta1, V):
+def _segment_verdicts_sorted(comp_flat, delta_flat, acc_t):
+    """Per-pixel verdict (segment sum <= 0) via sort + segmented scans.
+
+    The scatter-add segment sum serializes per element on TPU (~2.8 ms at
+    baby2 scale); this path uses only compare-exchange sorts, associative
+    scans, and one unique-index permutation scatter:
+
+      1. sort (comp, delta, iota) by comp          (bitonic, pure VPU)
+      2. within-segment prefix sums via a segmented associative scan
+      3. broadcast each segment's total backward (reverse segmented max)
+      4. scatter the per-element verdicts back through the sort permutation
+         (unique indices — no collision serialization)
+    """
+    N = comp_flat.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    skeys, svals, sidx = jax.lax.sort(
+        (comp_flat, delta_flat.astype(acc_t), idx), num_keys=1)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+
+    def seg_sum(a, b):  # segmented +: reset at segment starts
+        (fa, va), (fb, vb) = a, b  # flags: "segment boundary inside span"
+        return fa | fb, jnp.where(fb, vb, va + vb)
+
+    _, pref = jax.lax.associative_scan(seg_sum, (starts, svals))
+    # segment total = prefix at the segment's END; broadcast backward with a
+    # reverse segmented copy (carry the rightmost value until a boundary)
+    ends = jnp.concatenate([skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
+
+    def seg_copy(a, b):
+        (fa, va), (fb, vb) = a, b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, total = jax.lax.associative_scan(
+        seg_copy, (ends[::-1], jnp.where(ends, pref, 0.0)[::-1]))
+    total = total[::-1]
+    good_sorted = total <= 0.0
+    return jnp.zeros((N,), bool).at[sidx].set(good_sorted,
+                                              mode="promise_in_bounds")
+
+
+def accept_components(z, theta0, theta1, V, method: str | None = None):
     """Filter a decoded take-mask to its energy-improving components.
 
     Flipping a 4-connected component S of ``z`` changes the energy by a sum
     of per-pixel unary deltas plus per-edge deltas; distinct components share
     no edge, so the deltas are independent.  Returns (take, n_components
     accepted implicitly via the mask).
+
+    ``method``: 'scatter' (one scatter-add segment sum + verdict gather) or
+    'sort' (bitonic sort + segmented scans + one permutation scatter —
+    no colliding scatters; see _segment_verdicts_sorted).  Default: 'sort'
+    on TPU (measured round 4 at 375x450, amortized: 3.19 vs 3.59 ms per
+    acceptance incl. the shared flood, exact parity), 'scatter' elsewhere
+    (the bitonic network is slow to compile/run on CPU).
     """
+    if method is None:
+        method = "sort" if jax.default_backend() == "tpu" else "scatter"
     H, W = z.shape
     N = H * W
     comp = connected_components(z)
@@ -326,6 +376,10 @@ def accept_components(z, theta0, theta1, V):
         # the tail pixel
         delta = delta + geometry.shift_from_neighbor(push, OPP[d], fill=0.0)
 
+    if method == "sort":
+        good_px = _segment_verdicts_sorted(comp.reshape(-1),
+                                           delta.reshape(-1), acc_t)
+        return z & good_px.reshape(H, W)
     # comp is always in [0, N] by construction: promise_in_bounds lets XLA
     # drop the clamp logic from the scatter-add and the verdict gather
     sums = jnp.zeros((N + 1,), acc_t).at[comp.reshape(-1)].add(

@@ -121,8 +121,18 @@ def raster_gamma(H: int, W: int, dtype=jnp.float32) -> jax.Array:
 def _send_head(gD, Mold, Q, D0, alpha, kernel, tol):
     """Head-send: msg'[k_t] = min_{k_h}(gD[k_h] - Mold[k_h] + a·TR(Q[k_t]-D0[k_h])).
 
-    gD/Mold/Q/D0: [..., K, H]; alpha: [..., H].  Returns (normalized msg, vmin)."""
+    gD/Mold/Q/D0: [..., K, H]; alpha: [..., H].  Returns (normalized msg, vmin).
+
+    On TPU at large K the fused one-variant kernel takes over (the XLA
+    formulation materializes a [K, K, H] intermediate per send — ~all HBM
+    traffic at K~80; ops/minplus.minplus_send keeps the K x K walk in VMEM;
+    values agree to FP-contraction noise, ~1-2 ulp)."""
     Hs = gD - Mold  # [..., Kh, H]
+    from stereo_tpu.ops.minplus import minplus_send
+
+    fused = minplus_send(Hs, Q, D0, alpha, tol, kernel)
+    if fused is not None:
+        return fused
     term = alpha[..., None, None, :] * truncated_kernel(
         Q[..., None, :, :] - D0[..., :, None, :], kernel, tol)  # [..., Kh, Kt, H]
     acc = jnp.min(Hs[..., :, None, :] + term, axis=-3)  # [..., Kt, H]
@@ -133,6 +143,11 @@ def _send_head(gD, Mold, Q, D0, alpha, kernel, tol):
 def _send_tail(gD_tail, Mold, Q, D0, alpha, kernel, tol):
     """Tail-send: msg'[k_h] = min_{k_t}(gD_tail[k_t] - Mold[k_t] + a·TR(Q[k_t]-D0[k_h]))."""
     Hs = gD_tail - Mold  # [..., Kt, H]
+    from stereo_tpu.ops.minplus import minplus_send
+
+    fused = minplus_send(Hs, D0, Q, alpha, tol, kernel)  # targets = heads
+    if fused is not None:
+        return fused
     term = alpha[..., None, None, :] * truncated_kernel(
         Q[..., :, None, :] - D0[..., None, :, :], kernel, tol)  # [..., Kt, Kh, H]
     msg = jnp.min(Hs[..., :, None, :] + term, axis=-3)  # [..., Kh, H]

@@ -40,3 +40,10 @@ def _clear_jax_caches_per_module():
     backend_compile_and_load; test passes in isolation)."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >60s parametrization (run `-m 'not slow'` for the quick "
+        "suite; CI runs everything)")

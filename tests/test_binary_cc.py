@@ -72,3 +72,26 @@ def test_connected_components_match_scipy_style_labeling(seed, p):
             for my, mx in members:
                 want[my, mx] = mid
     np.testing.assert_array_equal(comp, want)
+
+
+def test_accept_components_sort_matches_scatter():
+    """The sort+segmented-scan verdict path is exact: identical take masks
+    to the scatter-add path on fuzzed instances."""
+    import jax.numpy as jnp
+    from stereo_tpu import energy as energy_mod
+    from stereo_tpu.solvers import binary
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        H, W = rng.integers(5, 40), rng.integers(5, 40)
+        z = jnp.asarray(rng.random((H, W)) < rng.uniform(0.2, 0.8))
+        theta0 = jnp.asarray(rng.standard_normal((H, W)))
+        theta1 = jnp.asarray(rng.standard_normal((H, W)))
+        w = energy_mod.default_weights(int(H), int(W), dtype=jnp.float64)
+        planes0 = jnp.asarray(rng.standard_normal((4, H, W)))
+        planes1 = jnp.asarray(rng.standard_normal((4, H, W)))
+        D0, Q = binary.fusion_problem(planes0, planes1)
+        V = binary._tables(D0, Q, w, 1, 1.0)
+        a = binary.accept_components(z, theta0, theta1, V, method="scatter")
+        b = binary.accept_components(z, theta0, theta1, V, method="sort")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -124,6 +124,7 @@ def test_component_acceptance_flips_only_improving_regions():
     assert not take[:, 3:].any()
 
 
+@pytest.mark.slow
 def test_device_vs_qpbo_improve_aggregate():
     """Publish the device-vs-QPBO-I gap (rd_mex.cpp:84-96 `Improve`).
 

@@ -132,3 +132,26 @@ def test_fused_phase_kernel_bf16_messages():
         np.asarray(got16, np.float32),
         np.asarray(got32.astype(jnp.bfloat16), np.float32),
         rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("K,L,kernel", [(7, 130, 1), (26, 384, 1),
+                                        (33, 200, 2)])
+def test_minplus_send_pallas_matches_xla(K, L, kernel):
+    """One-variant send kernel (interpret) == the XLA head-send math to
+    FP-contraction noise (~1-2 ulp: FMA fusion differs across programs)."""
+    from stereo_tpu.ops.minplus import minplus_send_pallas
+    from stereo_tpu.energy import truncated_kernel as TR
+
+    rng = np.random.default_rng(0)
+    hs = jnp.asarray(rng.standard_normal((K, L)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((K, L)) * 5, jnp.float32)
+    r = jnp.asarray(rng.standard_normal((K, L)) * 5, jnp.float32)
+    al = jnp.asarray(rng.random((L,)), jnp.float32)
+    term = al[None, None, :] * TR(p[None, :, :] - r[:, None, :], kernel, 2.0)
+    acc = jnp.min(hs[:, None, :] + term, axis=0)
+    vmin = jnp.min(acc, axis=0)
+    m, v = minplus_send_pallas(hs, p, r, al, 2.0, kernel, interpret=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(acc - vmin[None]),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vmin), rtol=1e-6,
+                               atol=1e-5)

@@ -75,6 +75,7 @@ def test_fusion_moves_toward_true_disparity(model):
     assert (np.abs(disp - 3.0) < 1.0).mean() > 0.6
 
 
+@pytest.mark.slow
 def test_segpln_proposals(model):
     props = model.segpln(seed=0)
     assert len(props) == 14

@@ -206,6 +206,7 @@ def test_optimize_graceful_failure_midway():
             RuntimeError("first"))], max_iters=2)
 
 
+@pytest.mark.slow
 def test_ojw_stereo_driver_stages():
     """proposal_method dispatch (ojw_stereo.m:144-192) runs SameUni →
     SegPln → Smooth* with fresh restarts and monotone per-stage traces."""

@@ -175,6 +175,7 @@ def test_full_segmentation_quantitative_parity():
     assert precision >= 0.8, precision
 
 
+@pytest.mark.slow
 def test_segment_count_ranges_reference_params():
     """Segment-count sanity at the reference's operating points on a real
     crop: the smoothness-weight segmentation (seg_params [4 5 0],
