@@ -59,21 +59,31 @@ from stereo_tpu.solvers.wavefront import _send_head, _send_tail
 __all__ = ["sharded_banded_run", "make_y_mesh"]
 
 
-def make_y_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D ('y',) mesh over the first n_devices devices (gy stripes)."""
+def make_y_mesh(n_devices: int | None = None, devices=None,
+                batch: int = 1) -> Mesh:
+    """('y',) stripe mesh — or ('batch', 'y') when batch > 1 — over the
+    first n_devices devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
+    if batch > 1:
+        n = len(devices)
+        if n % batch:
+            raise ValueError(f"{n} devices not divisible by batch={batch}")
+        return Mesh(np.asarray(devices).reshape(batch, n // batch),
+                    ("batch", "y"))
     return Mesh(np.asarray(devices), ("y",))
 
 
 class _StripeCtx:
     """Per-device distribution context: masks, perms, halo exchange."""
 
-    def __init__(self, bp: _BandedProblem, axis: str, n: int):
+    def __init__(self, bp: _BandedProblem, axis: str, n: int,
+                 vary_axes=None):
         self.bp = bp
         self.axis = axis
         self.n = n
+        self.vary_axes = vary_axes if vary_axes is not None else (axis,)
         spec = bp.spec
         Gx, nb, L, Lp = spec.Gx, spec.nb, spec.L, spec.Lp
         self.bot_off = (spec.Bh - 1) * nb + (spec.Gy - 1) * Gx
@@ -96,9 +106,10 @@ class _StripeCtx:
 
     def vary(self, x):
         """Mark a locally-created constant as device-varying (shard_map's
-        vma typing requires scan carries to agree with the updated state)."""
+        vma typing requires scan carries to agree with the updated state;
+        under a ('batch', 'y') mesh the state varies over both axes)."""
         return jax.tree.map(
-            lambda v: lax.pcast(v, self.axis, to="varying"), x)
+            lambda v: lax.pcast(v, self.vary_axes, to="varying"), x)
 
     def _row(self, arr, gy):
         """[K, Lp] side array -> its block-row gy as [K, Bw, Gx]."""
@@ -437,10 +448,20 @@ def sharded_banded_run(
     decoding every ``decode_every`` and keeping the best labeling seen.
     Labels and messages are bitwise-identical to the single-device
     solver/run; energy and lower bound agree to reassociation (psum of
-    per-stripe partials).  Requires ceil(H/Bh) % n_devices == 0 so every
+    per-stripe partials).  Requires ceil(H/Bh) % n_stripes == 0 so every
     stripe holds the same number of whole block-rows.
+
+    Batched inputs ([B, K, H, W] etc.) distribute stereo pairs over the
+    mesh's 'batch' axis (B must equal its size) with each pair's stripes
+    over ``axis`` — the (2, 4)-mesh flavor of the pooled drivers.
     """
-    K, H, W = unary.shape
+    batched = unary.ndim == 4
+    if batched:
+        B = int(unary.shape[0])
+        if "batch" not in mesh.axis_names or int(mesh.shape["batch"]) != B:
+            raise ValueError(
+                f"batched solve needs a 'batch' mesh axis of size {B}")
+    K, H, W = unary.shape[-3:]
     dtype = unary.dtype
     n = int(mesh.shape[axis])
     Gy = -(-H // Bh)
@@ -462,7 +483,8 @@ def sharded_banded_run(
         return jnp.pad(a, pads)
 
     if messages is None:
-        messages = jnp.zeros((4, K, H, W), dtype)
+        mshape = ((B, 4, K, H, W) if batched else (4, K, H, W))
+        messages = jnp.zeros(mshape, dtype)
 
     def stripe_fn(u, d0, q, al, msgs):
         idx = lax.axis_index(axis)
@@ -470,7 +492,8 @@ def sharded_banded_run(
         stripe = (row0, H, idx > 0, idx < n - 1)
         bp = _BandedProblem(u, d0, q, al, spec_l, kernel, tol,
                             stripe=stripe)
-        ctx = _StripeCtx(bp, axis, n)
+        vary_axes = (("batch", axis) if batched else (axis,))
+        ctx = _StripeCtx(bp, axis, n, vary_axes=vary_axes)
         state = messages_to_state(msgs, bp)
         acc = _acc_t(bp)
 
@@ -485,10 +508,14 @@ def sharded_banded_run(
             bestL = jnp.where(better, labels, bestL)
             return (state, bestE, bestL), lbs[-1]
 
-        # bestE is psum-derived on every path, so it stays device-invariant
-        # through the scan (shard_map infers the P() out_spec from that);
-        # bestL is the device's own stripe and stays varying.
+        # bestE is psum-derived over the stripe axis on every path, so it
+        # stays 'y'-invariant through the scan (shard_map infers the out
+        # spec from that) — but under a ('batch', 'y') mesh it still varies
+        # per pair; bestL is the device's own stripe and stays varying.
         big = jnp.asarray(jnp.inf, acc)
+        extra = tuple(a for a in ctx.vary_axes if a != axis)
+        if extra:
+            big = lax.pcast(big, extra, to="varying")
         lab0 = jnp.zeros((Hl, W), jnp.int32)
         carry0 = (state, big, ctx.vary(lab0))
         (state, bestE, bestL), lbs = lax.scan(
@@ -496,16 +523,30 @@ def sharded_banded_run(
         lb = lax.psum(lbs[-1], axis)
         return bestL, bestE, lb, state_to_messages(state, bp)
 
-    sharded = jax.shard_map(
-        stripe_fn, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None),
-                  P(None, None, axis, None), P(None, axis, None),
-                  P(None, None, axis, None)),
-        out_specs=(P(axis, None), P(), P(), P(None, None, axis, None)),
-    )
+    if batched:
+        # one pair per 'batch' row; the local slice has a leading axis of 1
+        def fn(u, d0, q, al, msgs):
+            L, E, lb_, M = stripe_fn(u[0], d0[0], q[0], al[0], msgs[0])
+            return L[None], E[None], lb_[None], M[None]
+
+        in_specs = (P("batch", None, axis, None),
+                    P("batch", None, axis, None),
+                    P("batch", None, None, axis, None),
+                    P("batch", None, axis, None),
+                    P("batch", None, None, axis, None))
+        out_specs = (P("batch", axis, None), P("batch"), P("batch"),
+                     P("batch", None, None, axis, None))
+    else:
+        fn = stripe_fn
+        in_specs = (P(None, axis, None), P(None, axis, None),
+                    P(None, None, axis, None), P(None, axis, None),
+                    P(None, None, axis, None))
+        out_specs = (P(axis, None), P(), P(), P(None, None, axis, None))
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs)
     with mesh:
         labels, energy, lb, msgs = jax.jit(sharded)(
             padH(unary), padH(positions), padH(nbr_positions), padH(alphas),
             padH(messages))
-    return TRWSResult(labels[:H], energy, lb,
+    return TRWSResult(labels[..., :H, :], energy, lb,
                       jnp.asarray(sweeps, jnp.int32), msgs[..., :H, :])

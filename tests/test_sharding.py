@@ -262,3 +262,31 @@ def test_sharded_banded_rejects_uneven_stripes():
     with pytest.raises(ValueError, match="block-rows"):
         banded_dist.sharded_banded_run(mesh, theta, D0, Q, alphas, kernel=1,
                                        tol=1.0, Bh=2, Bw=4, sweeps=2)
+
+
+def test_sharded_banded_batched_pairs():
+    """(2, 4) mesh: two stereo pairs over 'batch', each pair's gy stripes
+    over 'y' — labels bitwise per pair vs single-device BandedRun."""
+    from stereo_tpu.solvers import banded, banded_dist
+
+    rng = np.random.default_rng(1)
+    H, W, K, Bh, Bw = 24, 10, 3, 3, 4
+    a = oracles.grid_trws_inputs(rng, H, W, K)
+    b = oracles.grid_trws_inputs(rng, H, W, K)
+    stack = [jnp.stack([jnp.asarray(x), jnp.asarray(y)])
+             for x, y in zip(a, b)]
+
+    mesh = banded_dist.make_y_mesh(8, batch=2)
+    res = banded_dist.sharded_banded_run(
+        mesh, *stack, kernel=1, tol=1.0, Bh=Bh, Bw=Bw, sweeps=4,
+        decode_every=2)
+    assert res.energy.shape == (2,)
+    for i, inp in enumerate((a, b)):
+        run = banded.BandedRun(*(jnp.asarray(x) for x in inp), kernel=1,
+                               tol=1.0, Bh=Bh, Bw=Bw, use_pallas=False)
+        _, bestE, lb, bestL = run.run(run.init_state(), 4, 2)
+        np.testing.assert_array_equal(np.asarray(res.labels[i]),
+                                      np.asarray(bestL))
+        assert float(res.energy[i]) == pytest.approx(float(bestE), rel=1e-12)
+        assert float(res.lower_bound[i]) == pytest.approx(float(lb),
+                                                          rel=1e-9)
