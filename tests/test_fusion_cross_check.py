@@ -134,8 +134,10 @@ def test_device_vs_qpbo_improve_aggregate():
     single-pixel polish cannot reach).  On the *real* teddy-NCC move stream
     the per-move gap at the production budget is <= 1.5e-2 early and washes
     out to exact agreement at sweep convergence (moves 7+ reach the host's
-    energy bitwise-at-f32); at maxiter=400 the per-move gap is <= 1.4e-4
-    and checkerboard ICM (binary.icm_polish) halves it.  This test pins the
+    energy bitwise-at-f32); at maxiter=400 the first four moves' gaps are
+    1.4e-4 / 3.2e-3 / 1.9e-3 / 4.0e-4 and checkerboard ICM
+    (binary.icm_polish, 8 sweeps) trims each (e.g. 961852 -> 961790 vs
+    host-I 961720).  This test pins the
     fuzz-family aggregate so regressions of the acceptance/improve path
     surface."""
     gaps = []
