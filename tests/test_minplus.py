@@ -155,3 +155,51 @@ def test_minplus_send_pallas_matches_xla(K, L, kernel):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(vmin), rtol=1e-6,
                                atol=1e-5)
+
+
+def test_minplus_send_integrates_with_banded_scan(monkeypatch):
+    """Pin the send-kernel dispatch inside a real solver: run a banded
+    sweep with the fused path forced (interpret mode) and compare against
+    the pure-XLA scan.  Catches orientation/broadcast regressions in
+    _send_head/_send_tail's p/r mapping that only TPU runs would otherwise
+    see (the dispatcher gates on backend == tpu and K >= 24)."""
+    import oracles
+    from stereo_tpu.ops import minplus
+    from stereo_tpu.solvers import banded
+
+    calls = []
+
+    def forced(hs, p, r, alpha, tol, kernel, min_k=24):
+        calls.append(1)
+        K = hs.shape[-2]
+        L = hs.shape[-1]
+        lead = jnp.broadcast_shapes(hs.shape[:-2], p.shape[:-2],
+                                    r.shape[:-2], alpha.shape[:-1])
+        hs = jnp.broadcast_to(hs, lead + (K, L)).reshape((-1, K, L))
+        p = jnp.broadcast_to(p, lead + (K, L)).reshape((-1, K, L))
+        r = jnp.broadcast_to(r, lead + (K, L)).reshape((-1, K, L))
+        alpha = jnp.broadcast_to(alpha, lead + (L,)).reshape((-1, L))
+        ms, vs = zip(*(minplus.minplus_send_pallas(
+            hs[b].astype(jnp.float32), p[b].astype(jnp.float32),
+            r[b].astype(jnp.float32), alpha[b].astype(jnp.float32),
+            tol, kernel, interpret=True) for b in range(hs.shape[0])))
+        return (jnp.stack(ms).reshape(lead + (K, L)).astype(jnp.float64),
+                jnp.stack(vs).reshape(lead + (L,)).astype(jnp.float64))
+
+    rng = np.random.default_rng(0)
+    H, W, K = 12, 10, 5
+    args = tuple(jnp.asarray(x)
+                 for x in oracles.grid_trws_inputs(rng, H, W, K))
+    ref = banded.solve_banded(*args, kernel=1, tol=1.0, Bh=4, Bw=5,
+                              maxiter=3, max_relgap=0.0, use_pallas=False)
+    monkeypatch.setattr(minplus, "minplus_send", forced)
+    res = banded.solve_banded(*args, kernel=1, tol=1.0, Bh=4, Bw=5,
+                              maxiter=3, max_relgap=0.0, use_pallas=False)
+    # forced path computes in f32; agreement to f32 resolution
+    np.testing.assert_allclose(float(res.energy), float(ref.energy),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(res.lower_bound),
+                               float(ref.lower_bound), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.labels),
+                                  np.asarray(ref.labels))
+    assert calls, "forced fused path never engaged"
