@@ -84,3 +84,40 @@ def sharded_solve_global(
     with mesh:
         res = jax.jit(fn, out_shardings=out_specs)(u, d0, q, al)
     return res
+
+
+def sharded_banded_global(unary, positions, nbr_positions, alphas, *, kernel,
+                          tol, Bh, Bw, sweeps, decode_every=None):
+    """banded_dist.sharded_banded_run over ALL processes' devices.
+
+    gy stripes span processes: the per-step seam-slab ppermutes ride ICI
+    within a host and DCN across hosts.  Inputs are host numpy arrays
+    replicated on every process; rows are pre-padded host-side so the
+    solver's internal padding is a no-op on global arrays.  Labels are
+    allgathered so every process can read the full field.
+    """
+    from jax.experimental import multihost_utils
+
+    from stereo_tpu.solvers import banded_dist
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("y",))
+    K, H, W = np.asarray(unary).shape
+    Gy = -(-H // Bh)
+    Hp = Gy * Bh
+
+    def padH(a):
+        pads = [(0, 0)] * (a.ndim - 2) + [(0, Hp - H), (0, 0)]
+        return np.pad(np.asarray(a), pads)
+
+    u = make_global(mesh, P(None, "y", None), padH(unary))
+    d0 = make_global(mesh, P(None, "y", None), padH(positions))
+    q = make_global(mesh, P(None, None, "y", None), padH(nbr_positions))
+    al = make_global(mesh, P(None, "y", None), padH(alphas))
+    msgs = make_global(mesh, P(None, None, "y", None),
+                       np.zeros((4, K, Hp, W), np.asarray(unary).dtype))
+    res = banded_dist.sharded_banded_run(
+        mesh, u, d0, q, al, kernel=kernel, tol=tol, Bh=Bh, Bw=Bw,
+        sweeps=sweeps, decode_every=decode_every, messages=msgs)
+    labels = multihost_utils.process_allgather(res.labels, tiled=True)
+    return labels[..., :H, :], float(res.energy), float(res.lower_bound)
