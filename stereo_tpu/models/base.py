@@ -316,7 +316,14 @@ class DispMap:
 
         messages = None
         total_iters = 0
-        e = lb = None
+        lb = None
+        # TRW-S greedy decodes oscillate around convergence (ROADMAP: banded
+        # findings); keep the best labeling seen across chunk boundaries —
+        # any decode is a feasible labeling, so reporting/applying the
+        # incumbent is strictly no worse than the reference's keep-the-last
+        # (dispmap_super.m:191-197)
+        best_e = float("inf")
+        best_labels = None
         chunk_size = {
             "scanline": self.solver_chunk_scanline,
             "wavefront": self.solver_chunk_wavefront,
@@ -332,6 +339,9 @@ class DispMap:
                 )
             total_iters += int(iters)
             ef, lbf = float(e), float(lb)
+            if ef < best_e:
+                best_e = ef
+                best_labels = labels
             if trace is not None:
                 trace.record(ef, lbf, iterations=total_iters)
             if verbose:
@@ -343,9 +353,9 @@ class DispMap:
                 break
 
         self._assignment = jnp.take_along_axis(
-            stack, labels[None, None, :, :].astype(jnp.int32), axis=0
+            stack, best_labels[None, None, :, :].astype(jnp.int32), axis=0
         )[0]
-        self._stored_energy = float(e)
+        self._stored_energy = best_e
         return self._stored_energy, float(lb), total_iters
 
     # ------------------------------------------------------------- views
