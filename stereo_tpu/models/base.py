@@ -190,6 +190,7 @@ class DispMap:
                 fused, es, lbs = _fusion_sweep(
                     self._assignment, stack, self.smooth_weights,
                     self.smoothness_kernel, self.tol, self.normalize, unary_p,
+                    improve=4 if self.improve else 0,
                 )
                 jax.block_until_ready(es)
             self._assignment = fused
@@ -211,12 +212,16 @@ class DispMap:
         Device-backend moves run ``chunk`` at a time through the jitted
         _fusion_sweep scan (the binary_fusion_sweep fast path: no host
         round-trips between moves).  The visited-set bookkeeping is applied
-        post-hoc from the chunk's energy trace; the only divergence from the
-        per-move loop is that skip decisions use chunk-start knowledge, and
-        re-fusing a proposal already visited since the last improvement is a
-        provable no-op (the assignment is unchanged since its no-change
-        move), so the sequence of assignment-*changing* moves — and the
-        final labeling — is identical to the per-move driver.
+        post-hoc from the chunk's energy trace, so skip decisions use
+        chunk-start knowledge: a proposal whose earlier in-chunk twin already
+        fused may be re-fused, and one visited mid-chunk is not retried
+        until the next sweep.  The result is therefore *heuristically*
+        equivalent to the per-move driver — energy-monotone (every move goes
+        through binary_fuse's never-increase guard), same stopping criterion
+        (no unvisited proposal improves) — but the exact move sequence, the
+        iteration count, and near-tie labelings can differ from running the
+        moves one at a time.  Chunk padding uses live-masked identity steps
+        (see _fusion_sweep), so padded entries never touch the assignment.
         """
         n = len(proposals)
         rng = np.random.default_rng(seed)
@@ -265,16 +270,18 @@ class DispMap:
                 continue
             moves += len(batch)
             n_live = len(batch)
-            # pad to the compiled chunk shape with no-op repeats of the last
-            # proposal (a proposal re-fused immediately cannot change the
-            # labeling; padded trace entries are ignored below)
+            # pad to the compiled chunk shape; padded entries are live=False
+            # identity steps inside _fusion_sweep (take forced empty), so
+            # they provably cannot touch the assignment
             batch += [batch[-1]] * (chunk - n_live)
             sub = stack_all[jnp.asarray(batch)]
+            live = jnp.arange(chunk) < n_live
             with self.timings.phase("binary_fusion_sweep"):
                 fused, es, _ = _fusion_sweep(
                     self._assignment, sub, self.smooth_weights,
                     self.smoothness_kernel, self.tol, self.normalize,
-                    unary_p)
+                    unary_p, live=live,
+                    improve=4 if self.improve else 0)
                 jax.block_until_ready(es)
             self._assignment = fused
             es = np.asarray(es, np.float64)
@@ -382,8 +389,9 @@ def _total_energy(planes, weights, unary, kernel, tol, normalize):
     return energy.total_energy(unary, planes, weights, kernel, tol, normalize)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "normalize"))
-def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p):
+@functools.partial(jax.jit, static_argnames=("kernel", "normalize", "improve"))
+def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p,
+                  live=None, improve=0):
     """lax.scan of fusion moves over a [P, 4, H, W] proposal stack.
 
     The incumbent's unary and pairwise positions are carried incrementally:
@@ -392,6 +400,11 @@ def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p)
     positions only on one endpoint's plane), so each move evaluates the
     unary/geometry of the *proposal* only — the reference recomputes both
     sides per rd call (dispmap_super.m:70-74).
+
+    ``live`` ([P] bool, default all-True) marks real moves; entries with
+    live=False are guaranteed identities — the take-mask is forced empty so
+    the carry passes through unchanged (chunk padding in
+    binary_fuse_until_convergence relies on this).
     """
 
     def norm(x):
@@ -407,14 +420,16 @@ def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p)
         )
         return D0, Q
 
-    def step(carry, prop):
+    def step(carry, xs):
+        prop, alive = xs
         cur, U0, D0c, Qc = carry
         U1 = unary_p(prop)
         D0p, Qp = problem_of(prop)
         D0 = jnp.stack([D0c, D0p], axis=0)  # [2, H, W]
         Q = jnp.stack([Qc, Qp], axis=1)  # [4, 2, H, W]
-        res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel, tol=tol)
-        take = res.take
+        res = binary.binary_fuse(U0, U1, D0, Q, weights, kernel=kernel,
+                                 tol=tol, improve=improve)
+        take = res.take & alive
         cur = energy.fuse_labelling(cur, prop, take)
         U0n = jnp.where(take, U1, U0)
         D0n = jnp.where(take, D0p, D0c)
@@ -425,10 +440,12 @@ def _fusion_sweep(current, prop_stack, weights, kernel, tol, normalize, unary_p)
         )
         return (cur, U0n, D0n, Qn), (res.energy, res.lower_bound)
 
+    if live is None:
+        live = jnp.ones((prop_stack.shape[0],), bool)
     U0 = unary_p(current)
     D0c, Qc = problem_of(current)
     (fused, _, _, _), (es, lbs) = jax.lax.scan(
-        step, (current, U0, D0c, Qc), prop_stack
+        step, (current, U0, D0c, Qc), (prop_stack, live)
     )
     return fused, es, lbs
 

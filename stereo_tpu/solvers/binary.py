@@ -435,14 +435,21 @@ def binary_fuse(
     current_energy: jax.Array | None = None,
     check_every: int = 5,
     improve: int = 0,
+    accept_method: str | None = None,
 ) -> FusionResult:
     """One fusion move; never increases the energy.
 
-    ``current_energy`` is accepted for API compatibility; the per-component
-    acceptance makes the move non-increasing unconditionally, so it is only
-    used as a final numerical backstop when provided.  ``improve`` > 0 runs
-    that many checkerboard-ICM polish sweeps on the decoded mask before
-    acceptance (the rd_mex QPBO-I analog; rd_mex.cpp:84-96).
+    The never-increase guarantee is enforced unconditionally: the energy of
+    keeping the incumbent (all-False take) is one extra table evaluation, and
+    the whole move reverts whenever the accepted configuration would exceed
+    it — this covers both f32 rounding of the per-component sums and the
+    (pathological) case where the connected-component flood hits its round
+    cap and splits a component into edge-adjacent pieces whose deltas were
+    computed jointly.  ``current_energy``, when provided, additionally caps
+    the reported energy at the caller's incumbent value (API compatibility).
+    ``improve`` > 0 runs that many checkerboard-ICM polish sweeps on the
+    decoded mask before acceptance (the rd_mex QPBO-I analog;
+    rd_mex.cpp:84-96).
     """
     H, W = unary0.shape
     dtype = unary0.dtype
@@ -499,13 +506,18 @@ def binary_fuse(
 
     if improve:
         z = icm_polish(z, theta0, theta1, V, cb, improve)
-    # per-component acceptance: flip exactly the improving components
-    take = accept_components(z, theta0, theta1, V)
+    # per-component acceptance: flip exactly the improving components.
+    # ``accept_method`` pins the verdict path ('sort' = reassociation-free
+    # segmented scans — required for the sharded == single-device bitwise
+    # guarantee of parallel/fusion_dist.py); None = backend default.
+    take = accept_components(z, theta0, theta1, V, method=accept_method)
     energy = _k2_energy(take, theta0, theta1, V)
-    if current_energy is not None:
-        # numerical backstop (f32 component sums could round): never report
-        # or accept a worse-than-incumbent configuration
-        worse = energy > current_energy
-        take = jnp.where(worse, jnp.zeros_like(take), take)
-        energy = jnp.where(worse, current_energy, energy)
+    # unconditional never-increase backstop (see docstring): revert to the
+    # incumbent whenever the accepted configuration is worse than keeping it
+    e_keep = _k2_energy(jnp.zeros_like(take), theta0, theta1, V)
+    incumbent = e_keep if current_energy is None else jnp.minimum(
+        e_keep, jnp.asarray(current_energy, e_keep.dtype))
+    worse = energy > incumbent
+    take = jnp.where(worse, jnp.zeros_like(take), take)
+    energy = jnp.where(worse, e_keep, energy)
     return FusionResult(take, energy, lb, iters)

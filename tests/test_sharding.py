@@ -290,3 +290,134 @@ def test_sharded_banded_batched_pairs():
         assert float(res.energy[i]) == pytest.approx(float(bestE), rel=1e-12)
         assert float(res.lower_bound[i]) == pytest.approx(float(lb),
                                                           rel=1e-9)
+
+
+# ------------------------------------------------------ distributed fusion
+def _fusion_inputs(H, W, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def planes(r):
+        p = r.standard_normal((4, H, W))
+        p[2] = np.sign(p[2]) * (np.abs(p[2]) + 0.5)
+        return jnp.asarray(p)
+
+    from stereo_tpu import energy as energy_mod
+
+    cur = planes(rng)
+    prop = planes(rng)
+    w = energy_mod.default_weights(H, W, dtype=jnp.float64)
+    U0 = jnp.asarray(rng.uniform(0, 3, (H, W)))
+    U1 = jnp.asarray(rng.uniform(0, 3, (H, W)))
+    return cur, prop, U0, U1, w
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize("kernel", [1, 2])
+def test_sharded_fusion_step_bitwise(n, kernel):
+    """One fusion move sharded over n column stripes: take-mask and fused
+    planes bitwise-equal to the single-device move (same sort-based
+    acceptance), energy/lb to reassociation."""
+    from stereo_tpu.parallel import fusion_dist
+    from stereo_tpu.solvers import binary
+    from stereo_tpu import energy as energy_mod
+
+    H, W, tol = 12, 24, 0.9
+    cur, prop, U0, U1, w = _fusion_inputs(H, W, seed=n + 10 * kernel)
+
+    D0, Q = binary.fusion_problem(cur, prop)
+    ref = binary.binary_fuse(U0, U1, D0, Q, w, kernel=kernel, tol=tol,
+                             maxiter=30, max_relgap=0.0,
+                             accept_method="sort")
+    ref_fused = energy_mod.fuse_labelling(cur, prop, ref.take)
+
+    m = mesh_mod.make_mesh(n, batch=1)
+    fused, take, e, lb = fusion_dist.sharded_fusion_step(
+        m, cur, prop, U0, U1, w, kernel=kernel, tol=tol, maxiter=30,
+        max_relgap=0.0)
+    np.testing.assert_array_equal(np.asarray(take), np.asarray(ref.take))
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref_fused))
+    assert float(e) == pytest.approx(float(ref.energy), rel=1e-12)
+    assert float(lb) == pytest.approx(float(ref.lower_bound), rel=1e-9)
+    # never-increase under sharding: vs the keep-everything energy
+    e_keep = binary._k2_energy(jnp.zeros((H, W), bool), U0, U1,
+                               binary._tables(D0, Q, w, kernel, tol))
+    assert float(e) <= float(e_keep) + 1e-9
+
+
+def test_sharded_connected_components_cross_shard():
+    """Components that snake across every shard cut (U-shapes spanning the
+    full width, single-pixel bridges at alternating ends) get one id each —
+    the shift-doubling flood merges across cuts exactly as within a shard."""
+    from stereo_tpu.solvers import binary
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    H, W = 16, 24
+    z = np.zeros((H, W), bool)
+    # serpentine: rows 0,2,4,... full-width, connected by end bridges
+    for r in range(0, H, 2):
+        z[r, :] = True
+    for r in range(1, H - 1, 2):
+        z[r, -1 if (r // 2) % 2 == 0 else 0] = True
+    ref = np.asarray(binary.connected_components(jnp.asarray(z)))
+
+    m = mesh_mod.make_mesh(8, batch=1)
+    zs = jax.device_put(jnp.asarray(z), NamedSharding(m, P(None, "x")))
+    with m:
+        out = jax.jit(binary.connected_components,
+                      out_shardings=NamedSharding(m, P(None, "x")))(zs)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # the serpentine is a single component: one unique id over its pixels
+    assert len(np.unique(ref[z])) == 1
+
+
+def test_sharded_fusion_sweep_matches_per_move():
+    """A 6-proposal stream through sharded_fusion_sweep equals the per-move
+    single-device loop bitwise (planes), with a monotone energy trace; padded
+    (live=False) entries are identities."""
+    from stereo_tpu.parallel import fusion_dist
+    from stereo_tpu.solvers import binary
+    from stereo_tpu import energy as energy_mod
+    import jax.tree_util as jtu
+
+    H, W, tol, kernel = 12, 24, 0.9, 1
+    rng = np.random.default_rng(5)
+
+    def planes(r):
+        p = r.standard_normal((4, H, W))
+        p[2] = np.sign(p[2]) * (np.abs(p[2]) + 0.5)
+        return jnp.asarray(p)
+
+    cur = planes(rng)
+    props = [planes(rng) for _ in range(6)]
+    w = energy_mod.default_weights(H, W, dtype=jnp.float64)
+    base = jnp.asarray(rng.uniform(0, 3, (H, W)))
+
+    def unary_fn(base, p):
+        return base + 0.3 * jnp.abs(p[3])
+
+    unary_p = jtu.Partial(unary_fn, base)
+
+    # per-move single-device reference (sort acceptance, same budget)
+    ref = cur
+    es_ref = []
+    for p in props:
+        U0 = unary_p(ref)
+        U1 = unary_p(p)
+        D0, Q = binary.fusion_problem(ref, p)
+        r = binary.binary_fuse(U0, U1, D0, Q, w, kernel=kernel, tol=tol,
+                               maxiter=30, max_relgap=0.0,
+                               accept_method="sort")
+        ref = energy_mod.fuse_labelling(ref, p, r.take)
+        es_ref.append(float(r.energy))
+
+    m = mesh_mod.make_mesh(4, batch=1)
+    stack = jnp.stack(props + [props[-1]] * 2, 0)  # 2 padded entries
+    live = jnp.arange(8) < 6
+    fused, es, lbs = fusion_dist.sharded_fusion_sweep(
+        m, cur, stack, w, unary_p, kernel=kernel, tol=tol, live=live,
+        maxiter=30, max_relgap=0.0)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(es)[:6], np.asarray(es_ref),
+                               rtol=1e-12)
+    # monotone non-increasing energy trace over the live moves
+    assert all(b <= a + 1e-9 for a, b in zip(es_ref, es_ref[1:]))
