@@ -35,8 +35,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stereo_tpu.energy import truncated_kernel
-from stereo_tpu.ops.wavefront_kernel import (BIG, NSLOT, PSLOT, _ceil8,
-                                             _send_head)
+from stereo_tpu.ops.wavefront_kernel import BIG, NSLOT, _ceil8, _send_head
+
+# Problem-column window slots.  The wavefront kernel uses 3 (prefetch c+2
+# while columns c, c+1 are read, start at the top of the step); here the
+# c+2 prefetch is issued at the *end* of the step — after the last read of
+# column c, whose slot it reuses — so 2 slots suffice.  The prefetch
+# distance drops from ~2 steps to ~1, which still hides the ~1.5 us column
+# DMA behind the >= 40 us step; the freed [Rp, LANE] slot (~1.5 MB at
+# K=79) is what brings the K~80 regime under the VMEM gate (ROADMAP
+# round-4 "Still open" #2).
+PSLOT = 2
 
 __all__ = ["make_sweep", "sweep_banded_pallas"]
 
@@ -52,13 +61,28 @@ def _send_head2(gD2, Mold, Q, D02, alpha, kernel, tol, K):
     gD2/Mold/Q/D02: [2, Kp, L]; alpha: [2, L].  Like
     wavefront_kernel._send_head but with gD and D0 stacked per direction —
     the narrowed seam sends window each direction at a different lane group,
-    so the two directions no longer share source data."""
+    so the two directions no longer share source data.  Target rows walk in
+    KT blocks (wavefront_kernel.KT) to bound live temporaries; min is
+    exact, so this is bitwise the flat walk."""
+    from stereo_tpu.ops.wavefront_kernel import KT
+
+    Kp = Mold.shape[1]
     Hs = gD2 - Mold
-    acc = None
-    for kh in range(K):
-        cand = Hs[:, kh][:, None, :] + alpha[:, None, :] * truncated_kernel(
-            Q - D02[:, kh][:, None, :], kernel, tol)
-        acc = cand if acc is None else jnp.minimum(acc, cand)
+    outs = []
+    for i0 in range(0, K, KT):
+        sl = slice(i0, min(i0 + KT, K))
+        Qb = Q[:, sl]
+        acc = None
+        for kh in range(K):
+            cand = Hs[:, kh][:, None, :] + alpha[:, None, :] * truncated_kernel(
+                Qb - D02[:, kh][:, None, :], kernel, tol)
+            acc = cand if acc is None else jnp.minimum(acc, cand)
+        outs.append(acc)
+    acc = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    if K < Kp:
+        acc = jnp.concatenate(
+            [acc, jnp.full((2, Kp - K, acc.shape[-1]), BIG, acc.dtype)],
+            axis=1)
     kt = lax.broadcasted_iota(jnp.int32, acc.shape, 1)
     vmin = jnp.min(jnp.where(kt < K, acc, BIG), axis=1)
     msg = jnp.where(kt < K, acc - vmin[:, None, :], 0.0)
@@ -71,16 +95,23 @@ def _send_tail2(gDt, Mold, Q, D02, alpha, kernel, tol, K):
 
     gDt/Mold/Q/D02: [2, Kp, LANE]; alpha: [2, LANE].  Like
     wavefront_kernel._send_tail but with D0 stacked per direction (the two
-    seam targets are different nodes)."""
+    seam targets are different nodes).  Source rows walk in KT blocks."""
+    from stereo_tpu.ops.wavefront_kernel import KT
+
     Kp = Mold.shape[1]
     Hs = gDt - Mold
     kt = lax.broadcasted_iota(jnp.int32, Hs.shape, 1)
     Hs = jnp.where(kt < K, Hs, BIG)
+    src_blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
     outs = []
     for kh in range(K):
-        cand = Hs + alpha[:, None, :] * truncated_kernel(
-            Q - D02[:, kh][:, None, :], kernel, tol)
-        outs.append(jnp.min(cand, axis=1))  # [2, LANE]
+        m = None
+        for sl in src_blocks:
+            cand = Hs[:, sl] + alpha[:, None, :] * truncated_kernel(
+                Q[:, sl] - D02[:, kh][:, None, :], kernel, tol)
+            part = jnp.min(cand, axis=1)  # [2, LANE]
+            m = part if m is None else jnp.minimum(m, part)
+        outs.append(m)
     vmin = outs[0]
     for o in outs[1:]:
         vmin = jnp.minimum(vmin, o)
@@ -256,11 +287,11 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
     m_in(0, 0, M_hbm).start()
     m_in(1, 1, M_hbm).start()
     m_in(2, 2, M_hbm).start()
-    p_in(1, 1).start()
-    p_in(2, 2).start()
+    p_in(1, 1 % PSLOT).start()
+    p_in(2, 2 % PSLOT).start()
     m_in(0, 0, M_hbm).wait()
     m_in(1, 1, M_hbm).wait()
-    p_in(1, 1).wait()
+    p_in(1, 1 % PSLOT).wait()
 
     def fwd_step(c, _):
         t = c - 1
@@ -270,7 +301,6 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         slot_cp2 = lax.rem(c + 2, NSLOT)
         ps_c = lax.rem(c, PSLOT)
         ps_cp1 = lax.rem(c + 1, PSLOT)
-        ps_cp2 = lax.rem(c + 2, PSLOT)
 
         @pl.when(c + 2 <= T + 1)
         def _():
@@ -279,7 +309,6 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
                 m_wb(c - 2, slot_cp2).wait()
 
             m_in(c + 2, slot_cp2, M_hbm).start()
-            p_in(c + 2, ps_cp2).start()
 
         m_in(c + 1, slot_cp1, M_hbm).wait()
         p_in(c + 1, ps_cp1).wait()
@@ -358,6 +387,13 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         S_out[3] = jnp.where(((yb_l == t) & vSyD), mts[1], S_out[3])
 
         m_wb(c, slot_c).start()
+
+        # column c's reads are done — its problem slot (= rem(c+2, PSLOT))
+        # is free for the c+2 prefetch; waited at the top of step c+1
+        @pl.when(c + 2 <= T + 1)
+        def _():
+            p_in(c + 2, lax.rem(c + 2, PSLOT)).start()
+
         return 0
 
     lax.fori_loop(1, T + 1, fwd_step, 0)
@@ -377,7 +413,6 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
         slot_cm2 = lax.rem(c + (NSLOT - 2), NSLOT)
         ps_c = lax.rem(c, PSLOT)
         ps_cm1 = lax.rem(c + (PSLOT - 1), PSLOT)
-        ps_cm2 = lax.rem(c + (PSLOT - 2), PSLOT)
 
         @pl.when(c >= 2)
         def _():
@@ -386,7 +421,6 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
                 m_wb(c + 2, slot_cm2).wait()
 
             m_in(c - 2, slot_cm2, M_out).start()
-            p_in(c - 2, ps_cm2).start()
 
         @pl.when(c < T)
         def _():
@@ -493,6 +527,13 @@ def _kernel(tol_ref, prob_hbm, sp, M_hbm, S_in, M_out, S_out, lb_out,
 
         lbacc[0] = lbacc[0] + lb_col
         m_wb(c, slot_c).start()
+
+        # column c's reads are done — its slot (= rem(c-2, PSLOT)) is free
+        # for the c-2 prefetch; waited at the top of step c-1
+        @pl.when(c >= 2)
+        def _():
+            p_in(c - 2, lax.rem(c + (PSLOT - 2), PSLOT)).start()
+
         return 0
 
     lax.fori_loop(0, T, bwd_step, 0)

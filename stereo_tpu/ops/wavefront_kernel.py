@@ -63,18 +63,39 @@ def _sup(v):
     return jnp.where(idx == v.shape[-1] - 1, 0.0, r)
 
 
+KT = 8  # target/source-block size for the sends' (kt, kh) walks: live
+# intermediates stay [2, KT, lanes] instead of [2, Kp, lanes].  At K ~ 80
+# the flat walk's K live candidate buffers are what blew Mosaic's scoped
+# vmem (~39 MB of temporaries at K=79, LANE=768 — observed "ran out of
+# memory in memory space vmem ... 44.99M" on v5e); min is exact, so the
+# blocked reduction is bitwise-identical to the flat one (same argument as
+# ops/phase_kernel.py's KT blocks).
+
+
 def _send_head(gD, Mold, Q, D0, alpha, kernel, tol, K):
     """msg'[kt] = min_kh(gD[kh] - Mold[kh] + a*TR(Q[kt]-D0[kh])), normalized.
 
     gD/D0: [Kp, Hp]; Mold/Q: [2, Kp, Hp]; alpha: [2, Hp]; only rows < K are
     real — pad message rows are forced to 0 and excluded from vmin.
-    Unrolled over kh — straight-line VPU code, no launch overhead."""
+    Unrolled over kh in KT-sized target blocks — straight-line VPU code, no
+    launch overhead, bounded live temporaries."""
+    Kp = Mold.shape[1]
     Hs = gD[None] - Mold  # [2, Kp, Hp]
-    acc = None
-    for kh in range(K):  # real labels only
-        cand = Hs[:, kh][:, None, :] + alpha[:, None, :] * truncated_kernel(
-            Q - D0[kh][None, None, :], kernel, tol)
-        acc = cand if acc is None else jnp.minimum(acc, cand)
+    outs = []
+    for i0 in range(0, K, KT):
+        sl = slice(i0, min(i0 + KT, K))
+        Qb = Q[:, sl]
+        acc = None
+        for kh in range(K):  # real labels only
+            cand = Hs[:, kh][:, None, :] + alpha[:, None, :] * truncated_kernel(
+                Qb - D0[kh][None, None, :], kernel, tol)
+            acc = cand if acc is None else jnp.minimum(acc, cand)
+        outs.append(acc)
+    acc = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    if K < Kp:  # pad target rows: excluded from vmin, zeroed in msg
+        acc = jnp.concatenate(
+            [acc, jnp.full((2, Kp - K, acc.shape[-1]), BIG, acc.dtype)],
+            axis=1)
     kt = lax.broadcasted_iota(jnp.int32, acc.shape, 1)
     vmin = jnp.min(jnp.where(kt < K, acc, BIG), axis=1)  # [2, Hp]
     msg = jnp.where(kt < K, acc - vmin[:, None, :], 0.0)
@@ -85,16 +106,22 @@ def _send_tail(gDt, Mold, Q, D0, alpha, kernel, tol, K):
     """msg'[kh] = min_kt(gDt[kt] - Mold[kt] + a*TR(Q[kt]-D0[kh])), normalized.
 
     gDt: [2, Kp, Hp] (per-direction source beliefs); Mold/Q: [2, Kp, Hp].
-    Pad source rows carry BIG beliefs (never the min); pad output rows 0."""
+    Pad source rows carry BIG beliefs (never the min); pad output rows 0.
+    The source (kt) reduction walks KT-sized blocks (see KT)."""
     Kp = Mold.shape[1]
     Hs = gDt - Mold  # [2, Kp, Hp]
     kt = lax.broadcasted_iota(jnp.int32, Hs.shape, 1)
     Hs = jnp.where(kt < K, Hs, BIG)  # exclude pad sources from the min
+    src_blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
     outs = []
     for kh in range(K):
-        cand = Hs + alpha[:, None, :] * truncated_kernel(
-            Q - D0[kh][None, None, :], kernel, tol)
-        outs.append(jnp.min(cand, axis=1))  # [2, Hp]
+        m = None
+        for sl in src_blocks:
+            cand = Hs[:, sl] + alpha[:, None, :] * truncated_kernel(
+                Q[:, sl] - D0[kh][None, None, :], kernel, tol)
+            part = jnp.min(cand, axis=1)  # [2, Hp]
+            m = part if m is None else jnp.minimum(m, part)
+        outs.append(m)
     vmin = outs[0]
     for o in outs[1:]:
         vmin = jnp.minimum(vmin, o)

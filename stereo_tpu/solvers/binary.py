@@ -421,6 +421,88 @@ def icm_polish(z, theta0, theta1, V, cb, n_sweeps: int):
     return z
 
 
+def _edge_cost(Vd, zn, z):
+    """Directed-edge cost V[d][tail=zn, head=z] for boolean labelings."""
+    return jnp.where(
+        zn,
+        jnp.where(z, Vd[1, 1], Vd[1, 0]),
+        jnp.where(z, Vd[0, 1], Vd[0, 0]),
+    )
+
+
+def _attributed_cost(z, theta0, theta1, V, in_blk):
+    """Per-pixel cost map whose sum over any pixel set S = in_blk counts
+    every edge touching S exactly once: head-in edges at the head (internal
+    edges included once there), tail-in/head-out edges at the tail."""
+    c = jnp.where(z, theta1, theta0)
+    for d in range(NUM_DIRS):
+        zn = geometry.shift_from_neighbor(z, d, fill=False)
+        ec = _edge_cost(V[d], zn, z)
+        c = c + jnp.where(in_blk, ec, 0.0)
+        in_n = geometry.shift_from_neighbor(in_blk, d, fill=False)
+        push = jnp.where(jnp.logical_and(~in_blk, in_n), ec, 0.0)
+        c = c + geometry.shift_from_neighbor(push, OPP[d], fill=0.0)
+    return c
+
+
+def _block_resolve_aligned(z, theta0, theta1, V, par):
+    """Exactly resolve every (0,0)-aligned 2x2 block of parity ``par``:
+    each active block picks the best of its 16 cell patterns given the rest
+    of the labeling fixed.  Blocks of one parity share no 4-edges (adjacent
+    blocks differ by 1 in block coordinates), so the simultaneous argmin is
+    the exact conditional optimum and never increases the energy.  H, W
+    must be even (block_polish pads)."""
+    H, W = z.shape
+    ys = jnp.arange(H)[:, None] // 2
+    xs = jnp.arange(W)[None, :] // 2
+    cell = (jnp.arange(H)[:, None] % 2) * 2 + jnp.arange(W)[None, :] % 2
+    active = (ys + xs) % 2 == par
+    sums = []
+    for p in range(16):
+        bit = (p >> cell) & 1
+        zp = jnp.where(active, bit == 1, z)
+        ac = jnp.where(active,
+                       _attributed_cost(zp, theta0, theta1, V, active), 0.0)
+        sums.append(ac.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3)))
+    pbest = jnp.argmin(jnp.stack(sums, 0), axis=0).astype(jnp.int32)
+    pb = jnp.repeat(jnp.repeat(pbest, 2, axis=0), 2, axis=1)
+    bit = (pb >> cell) & 1
+    return jnp.where(active, bit == 1, z)
+
+
+def block_polish(z, theta0, theta1, V, rounds: int = 1):
+    """Exact 2x2-block resolve over a block-checkerboard, all 4 offsets.
+
+    The data-parallel analog of QPBO-I's fix-and-resolve on node *subsets*
+    (QPBO_extra.cpp:1152-1225): where icm_polish resolves single pixels,
+    this resolves every 2x2 window (at each of the 4 alignments) exactly —
+    capturing the multi-pixel frustrated cores single-pixel ICM cannot
+    leave (ROADMAP round-4: device < QPBO-I on 45/48 fuzz instances; with
+    one block_polish round it matches or beats QPBO-I on 48/48, closing
+    the former worst case +0.69%).  Monotone by construction: every phase
+    is an exact conditional argmin over non-adjacent blocks.  Its fixed
+    points are also single-flip optimal (Hamming-1 patterns are among the
+    16), so it subsumes an ICM sweep.
+    """
+    H, W = z.shape
+    for _ in range(rounds):
+        for oy in (0, 1):
+            for ox in (0, 1):
+                Hp = -(-(H + oy) // 2) * 2
+                Wp = -(-(W + ox) // 2) * 2
+                pads = ((oy, Hp - H - oy), (ox, Wp - W - ox))
+                # zero-padding V makes pad-edges free and pad unaries equal,
+                # so padded cells ride in their blocks at zero cost
+                pz = jnp.pad(z, pads)
+                pt0 = jnp.pad(theta0, pads)
+                pt1 = jnp.pad(theta1, pads)
+                pV = jnp.pad(V, [(0, 0)] * 3 + list(pads))
+                for par in (0, 1):
+                    pz = _block_resolve_aligned(pz, pt0, pt1, pV, par)
+                z = pz[oy:oy + H, ox:ox + W]
+    return z
+
+
 def binary_fuse(
     unary0: jax.Array,  # [H, W] unary cost of keeping the current label
     unary1: jax.Array,  # [H, W] unary cost of taking the proposal
@@ -506,6 +588,10 @@ def binary_fuse(
 
     if improve:
         z = icm_polish(z, theta0, theta1, V, cb, improve)
+        # exact 2x2-block resolve: reaches the multi-pixel frustrated cores
+        # single-pixel ICM cannot (matches or beats host QPBO-I on the full
+        # fuzz family — see block_polish)
+        z = block_polish(z, theta0, theta1, V, rounds=1)
     # per-component acceptance: flip exactly the improving components.
     # ``accept_method`` pins the verdict path ('sort' = reassociation-free
     # segmented scans — required for the sharded == single-device bitwise

@@ -462,3 +462,226 @@ def solve(
     if compact:
         M = to_full(M)
     return TRWSResult(labels, energy, lb, iters, M.astype(m_dtype))
+
+
+class TRWSRun:
+    """Prepared checkerboard solver: pack the problem once, sweep in jitted
+    chunks (the BandedRun pattern applied to the public trws entry point).
+
+    ``solve`` is designed to be *traced inside* a driver's jit; called
+    eagerly, its setup glue (masks, gammas, compaction) dispatches op-by-op
+    — ~2.8 s per call at K=15 and ~15 s at K=79 through the TPU tunnel
+    (ROADMAP round-4 findings).  TRWSRun hoists that into one jitted pack at
+    construction; each ``run(state, sweeps)`` chunk is a single compiled
+    program whose message state is donated, so a caller's second solve costs
+    sweeps + decode only.
+
+    Usage:
+        r = TRWSRun(unary, D0, Q, alphas, kernel=1, tol=2.0)
+        state = r.init_state()                     # or init_state(messages)
+        state, energy, lb, labels = r.run(state, 100, decode_every=10)
+        msgs = r.messages(state)                   # [4, K, H, W]
+        e, lb, labels, iters = r.solve()           # the reference stopping
+                                                   # rule, chunked driving
+
+    Semantics: ``run`` performs a fixed budget of forward+backward sweeps,
+    decoding every ``decode_every`` and keeping the best labeling seen (any
+    decode is feasible, so the incumbent is never worse than the last —
+    dispmap_super.m:191-197 keeps the last).  The message trajectory is
+    iteration-exact with ``solve`` for matching compact settings
+    (tests/test_trws_run.py pins messages bitwise).
+    """
+
+    def __init__(self, unary, positions, nbr_positions, alphas, *, kernel,
+                 tol, mode: str = "trws", use_pallas: bool | None = None,
+                 compact: bool | None = None, message_dtype=None):
+        if mode not in ("trws", "bp"):
+            raise ValueError(f"unknown mode {mode!r}")
+        K, H, W = unary.shape
+        self.K, self.H, self.W = K, H, W
+        self.kernel, self.tol, self.mode = kernel, tol, mode
+        self.dtype = unary.dtype
+        self._use_pallas = use_pallas
+        self._m_dtype = (jnp.dtype(message_dtype) if message_dtype is not None
+                         else self.dtype)
+        # static compact decision (mirrors solve's VMEM-aware auto-select)
+        if compact is None:
+            on_tpu = (use_pallas if use_pallas is not None
+                      else jax.default_backend() == "tpu")
+            if on_tpu:
+                from stereo_tpu.ops.phase_kernel import compact_tile_width
+
+                compact = compact_tile_width(K, W) is not None
+            else:
+                compact = False
+        self.compact = compact
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("mode", "compact"))
+        def pack(theta, D0, Q, alphas, mode, compact):
+            cb = checkerboard(H, W)
+            if mode == "bp":
+                gamma = jnp.ones((H, W), theta.dtype)
+            else:
+                gamma = node_gamma(H, W, theta.dtype)
+            valid = jnp.stack(
+                [geometry.valid_mask(H, W, d, dtype=theta.dtype)
+                 for d in range(NUM_DIRS)], 0)
+            full = (theta, D0, Q, alphas, cb, gamma, valid)
+            if not compact:
+                return full, None
+            from stereo_tpu.ops import checker
+
+            ch = lambda a: (checker.compact_h(a, 0), checker.compact_h(a, 1))
+            pix_full = jnp.ones((H, W), theta.dtype)
+            comp = (*map(ch, (theta, D0, Q, alphas, valid, gamma)),
+                    ch(pix_full))
+            return full, comp
+
+        self._full, self._comp = pack(unary, positions, nbr_positions,
+                                      alphas, mode, compact)
+        self._chunk_cache = {}
+        self._init_jit = None
+        self._msg_jit = None
+
+    # ------------------------------------------------------------- state
+    def init_state(self, messages=None):
+        """Message state in storage layout (compact pair or full buffer)."""
+        if messages is None:
+            messages = jnp.zeros((NUM_DIRS, self.K, self.H, self.W),
+                                 self._m_dtype)
+        elif messages.dtype != self._m_dtype:
+            messages = messages.astype(self._m_dtype)
+        if not self.compact:
+            return messages
+        if self._init_jit is None:
+            from stereo_tpu.ops import checker
+
+            self._init_jit = jax.jit(
+                lambda M: (checker.compact_h(M, 0), checker.compact_h(M, 1)))
+        return self._init_jit(messages)
+
+    def messages(self, state):
+        """[4, K, H, W] message buffer from a run state."""
+        if not self.compact:
+            return state
+        if self._msg_jit is None:
+            from stereo_tpu.ops import checker
+
+            H = self.H
+            self._msg_jit = jax.jit(
+                lambda M2: checker.expand_h(M2[0], M2[1], H))
+        return self._msg_jit(state)
+
+    # -------------------------------------------------------------- runs
+    def run(self, state, sweeps: int, decode_every: int | None = None):
+        """``sweeps`` forward+backward passes; decode every ``decode_every``
+        keeping the best labeling.  -> (state, best_energy, lb, best_labels).
+        State is donated: pass the returned state to the next chunk."""
+        if decode_every is None or decode_every >= sweeps:
+            decode_every = sweeps
+        sweeps = (sweeps // decode_every) * decode_every
+        key = (sweeps, decode_every)
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            n_seg = sweeps // decode_every
+            kernel, tol, mode, compact = (self.kernel, self.tol, self.mode,
+                                          self.compact)
+            use_pallas = self._use_pallas
+            accumulate_lb = mode == "trws"
+            dtype = self.dtype
+            acc_t = jnp.promote_types(dtype, jnp.float32)
+
+            def chunk(full, comp, M):
+                theta, D0, Q, alphas, cb, gamma, valid = full
+                if compact:
+                    (theta2, D02, Q2, alphas2, valid2, gamma2,
+                     pix2c) = comp
+                    pix2 = (pix2c[0], pix2c[1], self.H)
+
+                def sweep(_, carry):
+                    M, _ = carry
+                    if compact:
+                        M, _, _ = _phase_compact(
+                            theta2, M, D02, Q2, alphas2, valid2, gamma2,
+                            pix2, 0, kernel, tol, accumulate_lb=False,
+                            use_pallas=use_pallas)
+                        M, lb_nodes, lb_msgs = _phase_compact(
+                            theta2, M, D02, Q2, alphas2, valid2, gamma2,
+                            pix2, 1, kernel, tol,
+                            accumulate_lb=accumulate_lb,
+                            use_pallas=use_pallas)
+                    else:
+                        M, _, _ = _phase(theta, M, D0, Q, alphas, valid,
+                                         gamma, cb, 0, kernel, tol,
+                                         accumulate_lb=False,
+                                         use_pallas=use_pallas)
+                        M, lb_nodes, lb_msgs = _phase(
+                            theta, M, D0, Q, alphas, valid, gamma, cb, 1,
+                            kernel, tol, accumulate_lb=accumulate_lb,
+                            use_pallas=use_pallas)
+                    return M, (lb_nodes + lb_msgs).astype(acc_t)
+
+                def segment(carry, _):
+                    M, bestE, bestL = carry
+                    M, lb_sweep = jax.lax.fori_loop(
+                        0, decode_every, sweep,
+                        (M, jnp.zeros((), acc_t)))
+                    Mf = self._expand(M) if compact else M
+                    if accumulate_lb:
+                        D_black = _node_beliefs(theta, Mf)
+                        lb_black = jnp.sum(
+                            jnp.where(cb == 0, jnp.min(D_black, axis=0),
+                                      0.0), dtype=acc_t)
+                        lb = lb_sweep + lb_black
+                    else:
+                        lb = jnp.zeros((), acc_t)
+                    labels, energy = _decode(theta, Mf, D0, Q, alphas,
+                                             valid, cb, kernel, tol)
+                    energy = energy.astype(acc_t)
+                    better = energy < bestE
+                    bestE = jnp.where(better, energy, bestE)
+                    bestL = jnp.where(better, labels, bestL)
+                    return (M, bestE, bestL), lb
+
+                big = jnp.asarray(jnp.inf, acc_t)
+                lab0 = jnp.zeros((self.H, self.W), jnp.int32)
+                (M, bestE, bestL), lbs = jax.lax.scan(
+                    segment, (M, big, lab0), jnp.arange(n_seg))
+                return M, bestE, lbs[-1], bestL
+
+            fn = jax.jit(chunk, donate_argnums=(2,))
+            self._chunk_cache[key] = fn
+        state, e, lb, labels = fn(self._full, self._comp, state)
+        return state, e, lb, labels
+
+    def _expand(self, M2):
+        from stereo_tpu.ops import checker
+
+        return checker.expand_h(M2[0], M2[1], self.H)
+
+    def solve(self, maxiter: int = 1000, max_relgap: float = 1e-4,
+              check_every: int = 8, chunk: int = 300, messages=None):
+        """Chunked driving to the reference stopping rule
+        (minimize.cpp:100-112): decode/test every ``check_every`` sweeps,
+        stop on relgap < max_relgap or maxiter.  Returns a TRWSResult whose
+        labels/energy are the best decode seen (incumbent semantics)."""
+        state = self.init_state(messages)
+        best_e = float("inf")
+        best_labels = None
+        lb = 0.0
+        total = 0
+        while total < maxiter:
+            n = min(chunk, maxiter - total)
+            n = max(check_every, (n // check_every) * check_every)
+            state, e, lb, labels = self.run(state, n, check_every)
+            total += n
+            ef = float(e)
+            if ef < best_e:
+                best_e, best_labels = ef, labels
+            if ef != 0 and (ef - float(lb)) / ef < max_relgap:
+                break
+        return TRWSResult(best_labels, jnp.asarray(best_e),
+                          jnp.asarray(lb), jnp.asarray(total, jnp.int32),
+                          self.messages(state))
