@@ -175,129 +175,202 @@ int felzenszwalb(const float* im, int H, int W, float sigma, float k,
   return (int)mx;
 }
 
+namespace {
+
+// Region classification state shared by the merge phases below: per-pixel
+// region labels, per-region modes (float, EDISON stores modes as float) and
+// point counts.
+struct Regions {
+  std::vector<int32_t> labels;  // per pixel
+  std::vector<float> modes;     // 3 per region
+  std::vector<int32_t> counts;  // per region
+  int rc = 0;
+};
+
+// BuildRAM (msImageProcessor.cpp:2085-2210): right/below pairs over
+// i < H-1, j < W-1 ONLY (the last row's horizontal and last column's
+// vertical adjacencies are never recorded); per-region neighbour lists
+// sorted ascending (RAList::Insert keeps label order).
+std::vector<std::vector<int32_t>> build_ram(const Regions& R, int H, int W) {
+  std::vector<std::vector<int32_t>> adj(R.rc);
+  auto add = [&](int32_t a, int32_t b) {
+    auto& v = adj[a];
+    auto it = std::lower_bound(v.begin(), v.end(), b);
+    if (it == v.end() || *it != b) v.insert(it, b);
+  };
+  for (int i = 0; i < H - 1; i++) {
+    for (int j = 0; j < W - 1; j++) {
+      int32_t cur = R.labels[i * W + j];
+      int32_t right = R.labels[i * W + j + 1];
+      int32_t bottom = R.labels[(i + 1) * W + j];
+      if (cur != right) { add(cur, right); add(right, cur); }
+      if (cur != bottom) { add(cur, bottom); add(bottom, cur); }
+    }
+  }
+  return adj;
+}
+
+// InWindow (:3157-3178): range subspace only, double arithmetic, the L
+// term weighted 4x when mode1's UNSCALED L exceeds 80; strict diff < 0.25.
+// Asymmetric in (i, j) — TransitiveClosure effectively symmetrizes it by
+// testing every adjacency from both sides.
+bool in_window(const Regions& R, int32_t m1, int32_t m2, float h_r) {
+  double diff = 0;
+  for (int p = 0; p < 3; p++) {
+    double el = (double(R.modes[3 * m1 + p]) - double(R.modes[3 * m2 + p])) /
+                double(h_r);
+    if (p == 0 && R.modes[3 * m1] > 80)
+      diff += 4 * el * el;
+    else
+      diff += el * el;
+  }
+  return diff < 0.25;
+}
+
+// SqDistance (:3194-3218): FLOAT arithmetic; the loop's double k++ limits
+// it to the range subspace (no spatial terms, no L-quirk).
+float sq_distance(const Regions& R, int32_t m1, int32_t m2, float h_r) {
+  float dist = 0;
+  for (int p = 0; p < 3; p++) {
+    float el = (R.modes[3 * m1 + p] - R.modes[3 * m2 + p]) / h_r;
+    dist += el * el;
+  }
+  return dist;
+}
+
+// Steps 3-4 shared by TransitiveClosure and Prune (:2437-2535): resolve the
+// joins, accumulate float count-weighted modes by canonical element in
+// ascending region order, relabel by first occurrence (equal to ascending
+// minimum-member order), rebuild the pixel label map.
+void relabel(Regions& R, UnionFind& uf) {
+  std::vector<float> modes_buffer(3 * R.rc, 0.0f);
+  std::vector<int64_t> mpc_buffer(R.rc, 0);
+  for (int32_t i = 0; i < R.rc; i++) {
+    int32_t c = uf.find(i);
+    float w = float(R.counts[i]);
+    for (int p = 0; p < 3; p++) modes_buffer[3 * c + p] += w * R.modes[3 * i + p];
+    mpc_buffer[c] += R.counts[i];
+  }
+  std::vector<int32_t> label_buffer(R.rc, -1);
+  std::vector<float> new_modes;
+  std::vector<int32_t> new_counts;
+  int32_t label = -1;
+  for (int32_t i = 0; i < R.rc; i++) {
+    int32_t c = uf.find(i);
+    if (label_buffer[c] < 0) {
+      label_buffer[c] = ++label;
+      for (int p = 0; p < 3; p++)
+        new_modes.push_back(modes_buffer[3 * c + p] / float(mpc_buffer[c]));
+      new_counts.push_back((int32_t)mpc_buffer[c]);
+    }
+  }
+  for (auto& l : R.labels) l = label_buffer[uf.find(l)];
+  R.modes = std::move(new_modes);
+  R.counts = std::move(new_counts);
+  R.rc = label + 1;
+}
+
+// TransitiveClosure (:2349-2545): join every RAM adjacency passing
+// InWindow from either side, then relabel.  The join set is fixed by the
+// pass-start modes, so textbook union-find reproduces the reference's
+// canonical-element merge exactly (the partition is the connected
+// components of the join graph either way).
+void transitive_closure(Regions& R, int H, int W, float h_r) {
+  auto adj = build_ram(R, H, W);
+  UnionFind uf(R.rc);
+  for (int32_t i = 0; i < R.rc; i++)
+    for (int32_t j : adj[i])
+      if (in_window(R, i, j, h_r)) uf.join(i, j);
+  relabel(R, uf);
+}
+
+}  // namespace
+
 // modes: H*W*3 filtered LUV modes (device mean-shift output).
 // Returns number of segments (labels are 1-based).
+//
+// Control-flow-faithful transcription of the post-filter phases of EDISON's
+// Segment (msImageProcessor.cpp:703-800), pinned against the independent
+// numpy transcription in tests/oracle_meanshift.py:
+//
+//   1. Connect (:1911-1958) + Fill (:1982-2064): components over pixels
+//      whose float modes differ < LUV_treshold = 1.0 per channel — with the
+//      reference's commented-out column-bound check, so the 8 neighbour
+//      offsets are applied to the LINEAR index and wrap across row ends;
+//      region modes are the raster-first seed pixel's values.
+//   2. TransitiveClosure in Segment's repetition pattern (:744-752).
+//   3. Prune (:2734-2965): iteratively absorb regions with counts <
+//      min_region into the adjacent region of minimum SqDistance
+//      (pass-start modes, lowest label first, strict improvement).
 int connect_modes(const float* modes, int H, int W, float h_r, int min_region,
                   uint32_t* labels_out) {
   const int N = H * W;
-  // EDISON's TransitiveClosure merge radius is HALF the range bandwidth:
-  // rR2 = (h_r)^2 * 0.25 (msImageProcessor.cpp:743)
-  const float r2 = 0.25f * h_r * h_r;
 
-  UnionFind uf(N);
-  // 8-connected union where the filtered modes agree to within EDISON's
-  // flood-fill threshold: |delta| < 1.0 PER CHANNEL (LUV_treshold = 1.0,
-  // msImageProcessor.cpp:107, Fill :2027)
-  const int offs[4][2] = {{0, 1}, {1, 0}, {1, 1}, {1, -1}};
-  for (int y = 0; y < H; y++) {
-    for (int x = 0; x < W; x++) {
-      int p = y * W + x;
-      for (auto& o : offs) {
-        int ny = y + o[0], nx = x + o[1];
-        if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
-        int q = ny * W + nx;
-        bool close = true;
-        for (int c = 0; c < 3; c++)
-          close &= std::fabs(modes[3 * p + c] - modes[3 * q + c]) < 1.0f;
-        if (close) uf.join(p, q);
+  // --- Connect: wrap-quirk 8-neighbour components over |delta| < 1/channel
+  const int neigh[8] = {1, 1 - W, -W, -(1 + W), -1, W - 1, W, W + 1};
+  UnionFind pix(N);
+  for (int p = 0; p < N; p++) {
+    for (int k = 0; k < 8; k++) {
+      int q = p + neigh[k];
+      if (q < 0 || q >= N || q < p) continue;  // each pair tested once
+      bool close = true;
+      for (int c = 0; c < 3 && close; c++)
+        close = std::fabs(modes[3 * p + c] - modes[3 * q + c]) < 1.0f;
+      if (close) pix.join(p, q);
+    }
+  }
+  Regions R;
+  R.labels.resize(N);
+  {
+    std::vector<int32_t> remap(N, -1);
+    for (int p = 0; p < N; p++) {
+      int32_t r = pix.find(p);
+      if (remap[r] < 0) {
+        remap[r] = R.rc++;
+        for (int c = 0; c < 3; c++) R.modes.push_back(modes[3 * p + c]);
+        R.counts.push_back(0);
       }
+      R.labels[p] = remap[r];
+      R.counts[remap[r]]++;
     }
   }
 
-  // transitive closure: merge adjacent regions whose point-count-weighted
-  // mean modes are within (h_r/2)^2, repeating until stable (the
-  // TransitiveClosure loop of Segment, msImageProcessor.cpp:741-752)
-  for (int pass = 0; pass < 10; pass++) {
-    // accumulate region means
-    std::map<int32_t, std::array<double, 4>> acc;  // sum LUV + count
-    for (int i = 0; i < N; i++) {
-      auto& a = acc[uf.find(i)];
-      a[0] += modes[3 * i];
-      a[1] += modes[3 * i + 1];
-      a[2] += modes[3 * i + 2];
-      a[3] += 1.0;
-    }
-    bool merged = false;
-    for (int y = 0; y < H; y++) {
-      for (int x = 0; x < W; x++) {
-        int p = y * W + x;
-        for (auto& o : offs) {
-          int ny = y + o[0], nx = x + o[1];
-          if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
-          int q = ny * W + nx;
-          int32_t ra = uf.find(p), rb = uf.find(q);
-          if (ra == rb) continue;
-          auto& A = acc[ra];
-          auto& B = acc[rb];
-          float dd = 0;
-          for (int c = 0; c < 3; c++) {
-            float d = (float)(A[c] / A[3] - B[c] / B[3]);
-            dd += d * d;
-          }
-          if (dd < r2) {
-            int32_t m = uf.join(ra, rb);
-            // merge accumulators so later tests in this pass see the fusion
-            std::array<double, 4> sum;
-            for (int c = 0; c < 4; c++) sum[c] = A[c] + B[c];
-            acc[m] = sum;
-            merged = true;
+  // --- TransitiveClosure, once + the reference's do-while repetition
+  transitive_closure(R, H, W, h_r);
+  int old_rc = R.rc, counter = 0, delta;
+  do {
+    transitive_closure(R, H, W, h_r);
+    delta = old_rc - R.rc;
+    old_rc = R.rc;
+    counter++;
+  } while (delta <= 0 && counter < 10);
+
+  // --- Prune: repeat while any region was below min_region
+  int min_region_count;
+  do {
+    min_region_count = 0;
+    auto adj = build_ram(R, H, W);
+    UnionFind uf(R.rc);
+    for (int32_t i = 0; i < R.rc; i++) {
+      if (R.counts[i] < min_region && !adj[i].empty()) {
+        min_region_count++;
+        int32_t candidate = adj[i][0];
+        float best = sq_distance(R, i, candidate, h_r);
+        for (size_t k = 1; k < adj[i].size(); k++) {
+          float d = sq_distance(R, i, adj[i][k], h_r);
+          if (d < best) {  // strict: ties keep the earlier label
+            best = d;
+            candidate = adj[i][k];
           }
         }
+        uf.join(i, candidate);
       }
     }
-    if (!merged) break;
-  }
+    relabel(R, uf);
+  } while (min_region_count > 0);
 
-  // prune small regions: absorb into the neighbor with the closest mean mode
-  if (min_region > 1) {
-    for (int pass = 0; pass < 64; pass++) {
-      std::map<int32_t, std::array<double, 4>> acc;
-      for (int i = 0; i < N; i++) {
-        auto& a = acc[uf.find(i)];
-        a[0] += modes[3 * i];
-        a[1] += modes[3 * i + 1];
-        a[2] += modes[3 * i + 2];
-        a[3] += 1.0;
-      }
-      // for each small region find its best adjacent region
-      std::map<int32_t, std::pair<float, int32_t>> best;  // region -> (d2, nbr)
-      bool any_small = false;
-      for (int y = 0; y < H; y++) {
-        for (int x = 0; x < W; x++) {
-          int p = y * W + x;
-          for (auto& o : offs) {
-            int ny = y + o[0], nx = x + o[1];
-            if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
-            int q = ny * W + nx;
-            int32_t ra = uf.find(p), rb = uf.find(q);
-            if (ra == rb) continue;
-            for (int swap = 0; swap < 2; swap++) {
-              int32_t s = swap ? rb : ra, t = swap ? ra : rb;
-              if (acc[s][3] >= min_region) continue;
-              any_small = true;
-              auto& A = acc[s];
-              auto& B = acc[t];
-              float dd = 0;
-              for (int c = 0; c < 3; c++) {
-                float d = (float)(A[c] / A[3] - B[c] / B[3]);
-                dd += d * d;
-              }
-              auto it = best.find(s);
-              if (it == best.end() || dd < it->second.first)
-                best[s] = {dd, t};
-            }
-          }
-        }
-      }
-      if (!any_small) break;
-      for (auto& kv : best) uf.join(kv.first, kv.second.second);
-    }
-  }
-
-  compact_labels(uf, N, labels_out);
-  uint32_t mx = 0;
-  for (int i = 0; i < N; i++) mx = std::max(mx, labels_out[i]);
-  return (int)mx;
+  for (int p = 0; p < N; p++) labels_out[p] = (uint32_t)R.labels[p] + 1;
+  return R.rc;
 }
 
 }  // extern "C"

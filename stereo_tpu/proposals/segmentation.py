@@ -10,10 +10,15 @@ Two backends mirroring the reference's pair (dispmap_globalstereo.m:121-134):
   vectorized jax program; the merge stage (mode connection, transitive region
   fusion, small-region pruning) is host-side union-find in the native library.
 
-Behavioral (not bitwise) parity with EDISON: the reference calls
-Segment(..., HIGH_SPEEDUP) (vgg_segment_ms.cxx:74), an approximation layer of
-the original code; segment *boundaries* are what feed the pipeline (weights,
-per-segment plane fits), and these agree to the bandwidth scale.
+Pinned to the transcription oracle in tests/oracle_meanshift.py: the filter
+per-pixel against a serial numpy transcription of NewNonOptimizedFilter
+(bit-identical outside summation-association knife edges —
+tests/test_segmentation_parity.py), the merge label-map-exact against a
+transcription of Connect/TransitiveClosure/Prune including the reference's
+wrap-around Fill offsets.  The reference mex calls Segment(...,
+HIGH_SPEEDUP) (vgg_segment_ms.cxx:74) — NewOptimizedFilter2, a
+basin-of-attraction approximation layer over this exact filter; the merge
+phases are identical under every speedup level.
 """
 
 from __future__ import annotations
@@ -80,7 +85,6 @@ _MS_EPSILON = 0.01  # EDISON's mode-convergence threshold (ms.h:106)
 _MS_LIMIT = 100     # EDISON's per-pixel iteration cap (ms.h:111)
 
 
-@functools.partial(jax.jit, static_argnames=("h_s", "h_r", "max_iters"))
 def mean_shift_filter(
     luv: jax.Array,  # [H, W, 3]
     h_s: int,
@@ -103,23 +107,51 @@ def mean_shift_filter(
       after the loop exits (:4619-4620).
 
     The neighborhood is gathered around the rounded current position with a
-    static window of radius ceil(h_s + 0.5) pixels, a superset of EDISON's
-    3^3 bucket search at cell width h_s.
+    static window of radius ceil(h_s + sqrt(1/2)) pixels, a superset of
+    EDISON's 3^3 bucket search at cell width h_s.
+
+    The strict window tests are knife-edge at integer h_s: the first
+    iteration evaluates lattice points at spatial distance exactly h_s,
+    where ``dsp < 1.0`` is decided by the last bit of
+    ``(x+h_s)/h_s - x/h_s``.  XLA:CPU strengthens division by a constant
+    into multiplication by its reciprocal, which changes that bit vs the
+    reference's plain IEEE division — so every constant-divisor scaling
+    (lattice coordinates, luv/h_r) is computed host-side with numpy and
+    the kernel only gathers from the exact tables; the distance sums are
+    additionally assembled across ``lax.optimization_barrier`` against FMA
+    contraction.  Verified per-pixel against the serial transcription in
+    tests/oracle_meanshift.py.
     """
-    H, W, _ = luv.shape
-    dtype = luv.dtype
+    luv = np.asarray(luv)
+    sval = np.asarray(luv / np.asarray(luv.dtype.type(h_r)), luv.dtype)
+    return _mean_shift_filter_scaled(jnp.asarray(sval), int(h_s),
+                                     float(h_r), int(max_iters))
+
+
+@functools.partial(jax.jit, static_argnames=("h_s", "h_r", "max_iters"))
+def _mean_shift_filter_scaled(sval, h_s, h_r, max_iters):
+    H, W, _ = sval.shape
+    dtype = sval.dtype
     sS = float(h_s)
     sR = float(h_r)
-    ys0 = jnp.arange(H, dtype=dtype)[:, None] * jnp.ones((1, W), dtype) / sS
-    xs0 = jnp.ones((H, 1), dtype) * jnp.arange(W, dtype=dtype)[None, :] / sS
-    sval = luv / sR  # scaled range data, the gather source
+    # exact host-side IEEE divisions, embedded as constant gather tables
+    rows_np = (np.arange(H) / np.asarray(sS, np.dtype(dtype))).astype(dtype)
+    cols_np = (np.arange(W) / np.asarray(sS, np.dtype(dtype))).astype(dtype)
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
+    ys0 = jnp.broadcast_to(rows[:, None], (H, W))
+    xs0 = jnp.broadcast_to(cols[None, :], (H, W))
     hiLTr = 80.0 / sR
 
-    R = int(np.ceil(sS + 0.5))
-    # |pixel - round(pos)| <= |pixel - pos| + 0.5 < h_s + 0.5 bounds the
-    # offsets that can ever pass the dsp < 1 test
+    # |pixel - round(pos)| <= |pixel - pos| + |pos - round(pos)| and the
+    # per-coordinate rounding error of 0.5 is sqrt(1/2) in Euclidean norm,
+    # so radius h_s + sqrt(1/2) bounds the offsets that can ever pass the
+    # dsp < 1 test (h_s + 0.5 misses lattice points when both coordinates
+    # round near half-integers)
+    slack = float(np.sqrt(0.5)) + 1e-9
+    R = int(np.ceil(sS + slack))
     offs = [(dy, dx) for dy in range(-R, R + 1) for dx in range(-R, R + 1)
-            if dy * dy + dx * dx <= (sS + 0.5) ** 2]
+            if dy * dy + dx * dx <= (sS + slack) ** 2]
     offs_np = np.array(offs, dtype=np.int32)  # [M, 2]
 
     def ms_vector(pos_y, pos_x, val):
@@ -139,13 +171,14 @@ def mean_shift_filter(
             nyc = jnp.clip(ny, 0, H - 1)
             nxc = jnp.clip(nx, 0, W - 1)
             nval = sval[nyc, nxc]  # [H, W, 3] scaled
-            nyf = nyc.astype(dtype) / sS
-            nxf = nxc.astype(dtype) / sS
-            dsp = (nyf - pos_y) ** 2 + (nxf - pos_x) ** 2
+            nyf = rows[nyc]
+            nxf = cols[nxc]
+            bar = jax.lax.optimization_barrier
+            dsp = bar((nyf - pos_y) ** 2) + bar((nxf - pos_x) ** 2)
             dL = nval[..., 0] - val[..., 0]
-            dr = (quad * dL * dL
-                  + (nval[..., 1] - val[..., 1]) ** 2
-                  + (nval[..., 2] - val[..., 2]) ** 2)
+            dr = (bar(quad * dL * dL)
+                  + bar((nval[..., 1] - val[..., 1]) ** 2)
+                  + bar((nval[..., 2] - val[..., 2]) ** 2))
             w = (inb & (dsp < 1.0) & (dr < 1.0)).astype(dtype)
             acc_y = acc_y + w * nyf
             acc_x = acc_x + w * nxf

@@ -43,48 +43,10 @@ def rgb_to_luv_ref(rgb):
     return np.stack([L, u, v], axis=-1)
 
 
-def ms_filter_ref(luv, sigma_s, sigma_r, eps=0.01, limit=100):
-    """Literal NewNonOptimizedFilter (msImageProcessor.cpp:4305-4630):
-    per-pixel mean-shift to convergence in the (x, y, L, u, v) joint space
-    scaled by (sigma_s, sigma_r), uniform kernels with strict < 1 windows,
-    the hiLTr L-quirk, the scaled-then-unscaled magnitude test asymmetry,
-    and the post-loop extra shift."""
-    H, W, _ = luv.shape
-    sS, sR = float(sigma_s), float(sigma_r)
-    pts = np.empty((H * W, 5))
-    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
-    pts[:, 0] = xs.ravel() / sS
-    pts[:, 1] = ys.ravel() / sS
-    pts[:, 2:] = np.asarray(luv, np.float64).reshape(-1, 3) / sR
-    hiLTr = 80.0 / sR
-    out = np.empty((H * W, 3))
-
-    def msvec(yk):
-        dsp = (pts[:, 0] - yk[0]) ** 2 + (pts[:, 1] - yk[1]) ** 2
-        cand = pts[dsp < 1.0]
-        dL = cand[:, 2] - yk[2]
-        quad = 4.0 if yk[2] > hiLTr else 1.0
-        dr = (quad * dL * dL + (cand[:, 3] - yk[3]) ** 2
-              + (cand[:, 4] - yk[4]) ** 2)
-        sel = cand[dr < 1.0]
-        if len(sel) == 0:
-            return np.zeros(5)
-        return sel.mean(axis=0) - yk
-
-    for p in range(H * W):
-        yk = pts[p].copy()
-        mh = msvec(yk)
-        mv = float(np.sum(mh * mh))  # first test: scaled units (:4520-4523)
-        ic = 1
-        while mv >= eps and ic < limit:
-            yk += mh
-            mh = msvec(yk)
-            mv = ((mh[0] ** 2 + mh[1] ** 2) * sS * sS
-                  + float(np.sum(mh[2:] ** 2)) * sR * sR)  # unscaled (:4609)
-            ic += 1
-        yk += mh  # applied on every exit path (:4619-4620)
-        out[p] = yk[2:] * sR
-    return out.reshape(H, W, 3)
+# The filter + merge transcriptions live in tests/oracle_meanshift.py (the
+# per-layer oracle module); ms_filter_ref is kept as the historical alias.
+from oracle_meanshift import filter_oracle as ms_filter_ref  # noqa: E402
+from oracle_meanshift import segment_oracle  # noqa: E402
 
 
 def _teddy_crop(h=40, w=56, y0=120, x0=180):
@@ -173,6 +135,104 @@ def test_full_segmentation_quantitative_parity():
     precision = (b_ours & _dilate1(b_ref)).sum() / max(b_ours.sum(), 1)
     assert recall >= 0.8, recall
     assert precision >= 0.8, precision
+
+
+def _baby2_crop(h=24, w=32, y0=60, x0=90):
+    pair = io.load_pair("baby2", dtype=np.float32)
+    return np.asarray(pair.images[0][y0:y0 + h, x0:x0 + w]).astype(np.float32)
+
+
+@pytest.mark.parametrize("crop,h_s,h_r", [
+    ("teddy", 3, 5.0),
+    ("baby2", 4, 6.5),
+])
+def test_filter_per_pixel_modes_pinned(crop, h_s, h_r):
+    """Device lockstep filter at the oracle's own precision (f64 on the CPU
+    test backend) == the serial per-pixel transcription, per-pixel, on real
+    crops of both bundled pairs.  This is the strict pin; the production f32
+    path is covered by the looser basin-edge test below."""
+    im = _teddy_crop(20, 28, 140, 200) if crop == "teddy" else _baby2_crop()
+    luv = rgb_to_luv_ref(im)  # float64
+    ref = ms_filter_ref(luv, h_s, h_r)
+    ours = np.asarray(segmentation.mean_shift_filter(
+        np.asarray(luv, np.float64), h_s, float(h_r))).astype(np.float32)
+    err = np.abs(ours.astype(np.float64)
+                 - np.asarray(ref, np.float64)).max(axis=-1)
+    # Window-membership semantics are pinned exactly (constant divisions
+    # hoisted to host IEEE, FMA barriers); the one remaining freedom is
+    # floating-point summation ASSOCIATION inside the window means (EDISON
+    # sums in bucket-list order, numpy pairwise, the device kernel in
+    # offset order), which every transcription has.  Pixels whose
+    # trajectory crosses a strict-< window boundary within that last-bit
+    # dust may branch to a different (equally valid) nearby mode; all
+    # others are bit-identical after the f32 output cast.
+    assert (err < 1e-6).mean() >= 0.96, (err.max(), (err >= 1e-6).sum())
+    assert np.median(err) < 1e-6
+
+
+@pytest.mark.parametrize("crop,h_r,min_region", [
+    ("teddy", 5.0, 0),
+    ("teddy", 5.0, 12),
+    ("baby2", 6.5, 8),
+])
+def test_native_merge_matches_edison_transcription(crop, h_r, min_region):
+    """native connect_modes (Connect + TransitiveClosure pattern + Prune)
+    == the literal numpy transcription, exact label-map equality including
+    numbering, on real filtered modes.  min_region > 0 exercises Prune."""
+    import ctypes
+
+    from stereo_tpu import native
+
+    im = _teddy_crop(28, 36, 120, 180) if crop == "teddy" else _baby2_crop()
+    luv = segmentation.rgb_to_luv(np.asarray(im, np.float32))
+    modes = np.asarray(segmentation.mean_shift_filter(luv, 4, float(h_r)),
+                       np.float32)
+    H, W, _ = modes.shape
+
+    ref_labels, ref_modes, ref_counts = segment_oracle(modes, h_r, min_region)
+
+    got = np.zeros((H, W), np.uint32)
+    L = native.lib()
+    n = L.connect_modes(
+        np.ascontiguousarray(modes).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        H, W, ctypes.c_float(float(h_r)), int(min_region),
+        got.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+    assert n == len(ref_counts)
+    np.testing.assert_array_equal(got.astype(np.int64), ref_labels + 1)
+    if min_region > 0:
+        assert (ref_counts >= min_region).all() or len(ref_counts) == 1
+
+
+def test_merge_wrap_quirk_pinned():
+    """The reference Fill's commented-out column-boundary check makes
+    neighbour offsets wrap across row ends (msImageProcessor.cpp:2010-2023);
+    a two-column-block image whose halves are similar ONLY via the wrap edge
+    must come out as ONE region, and the transcription + native merge agree."""
+    import ctypes
+
+    from stereo_tpu import native
+
+    # one row: the 1-W offset applied to the linear index connects
+    # (0, W-1) straight to (0, 0); interior pixels are mutually dissimilar
+    H, W = 1, 6
+    vals = np.array([0.0, 10.0, 20.0, 30.0, 40.0, 0.5], np.float32)
+    modes = np.broadcast_to(vals[None, :, None], (H, W, 3)).copy()
+
+    labels, _, _ = segment_oracle(modes, 5.0, 0)
+    assert labels[0, 0] == labels[0, W - 1]  # fused ONLY via the wrap edge
+    assert len(np.unique(labels)) == W - 1
+
+    got = np.zeros((H, W), np.uint32)
+    L = native.lib()
+    n = L.connect_modes(
+        np.ascontiguousarray(modes).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        H, W, ctypes.c_float(5.0), 0,
+        got.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    np.testing.assert_array_equal(got.astype(np.int64), labels + 1)
+    assert n == W - 1
 
 
 @pytest.mark.slow
