@@ -213,9 +213,13 @@ def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
         return time.perf_counter() - t0
 
     timed(200)  # compile both shapes off the clock
-    timed(700)
-    lo, hi = 200, 700
-    per_sweep = sorted((timed(hi) - timed(lo)) / (hi - lo) for _ in range(5))
+    timed(1200)
+    # 9 samples over a 1000-sweep span: each timed() call rides the tunnel's
+    # seconds-scale dispatch variance, so the span must swamp it and the
+    # sample list (published below) must carry the spread, not hide it
+    # (round-4 review: 5 samples spanning 3x is a floor, not a measurement)
+    lo, hi = 200, 1200
+    per_sweep = sorted((timed(hi) - timed(lo)) / (hi - lo) for _ in range(9))
     marg = per_sweep[len(per_sweep) // 2]
     direct = timed(hi) / hi  # upper bound: includes the fixed overhead
     sol = rf["compact"]["sol_ms"] / 1e3
@@ -300,12 +304,14 @@ def run_k79(host_iters=60, chunk=5, band=128, max_sweeps=600):
     4.18 ms for the whole dense K=79 update), and the checkerboard kernels
     auto-fall-back to the standard (non-compact) fused kernel whose tiles
     fit to K ~ 95 (28 ms/sweep at K=79, ~1.4x the VPU flop roofline).
-    This race pits the banded-schedule solver (scan path with the fused
-    one-variant send kernel, ops/minplus.minplus_send — the fully-fused
-    banded kernel's windows exceed VMEM at K=79, confirmed by Mosaic)
-    against the native serial O(K) host on the real teddy-NCC
-    simultaneous-fusion problem.  Round-4 measurement: 129 ms/sweep,
-    host-60-iter energy reached in 65 sweeps / 8.4 s = 17.2x.
+    This race pits the banded-schedule solver against the native serial
+    O(K) host on the real teddy-NCC simultaneous-fusion problem.  Since
+    round 5 the fully-fused banded kernel runs here too: the 2-slot
+    problem-column window + KT-blocked send walks brought its VMEM under
+    the 14 MB gate at K=79/B=(375,256) (ops/banded_kernel.py), 62.8
+    ms/sweep vs the scan path's 129 (which pays for XLA materializing
+    [K,K,L] send intermediates to HBM even with the fused one-variant
+    minplus_send kernel).
     """
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,27 @@ On top of the wavefront kernel this adds the seam machinery:
 
 Semantics are pinned against the banded scan path in
 tests/test_banded_kernel.py (which itself is oracle-exact, tests/test_banded.py).
+
+K=15 roofline floor (measured, v5e, baby2 370x413, round 5): the sweep is
+COMPUTE-bound, not step- or byte-bound.  Block-shape sweep at K in {4, 15}:
+
+    B=(128,128) T=255  K=15: 3.135 ms   K=4: 1.294 ms   (LANE 1536)
+    B=( 64, 64) T=127  K=15: 2.634      K=4: 1.051      (LANE 2688)
+    B=( 96,104) T=199  K=15: 2.599                      (LANE 1536)
+    B=( 48, 52) T= 99  K=15: 2.476                      (LANE 3072)
+    B=(128, 32) T=159  K=15: 76.3  <- pathological (Mosaic spill; rectangle
+                                      blocks this skewed are refuted)
+
+Fitting t = steps * (a + b*LANE*K^2): a ~ 2.3 us/step (seam rolls, masked
+group compares, DMA waits — K-independent) and b ~ 11 ps/(lane*K^2-pair),
+i.e. the two interior sends run at ~0.7 TFLOP/s effective VPU.  Per-step
+cost is ~4 ns/lane at K=15 across block shapes (6.1 us at LANE 1536, 10.4
+at 2688), so cutting T at fixed lane-work (T=255 -> 99) only removes the
+per-step constant — the floor is the send arithmetic itself.  The byte
+roofline (0.925 ms) is not the binding constraint; vs it the kernel sits
+at 2.7-3.3x depending on block shape.  B=128 stays the race default: its
+sweeps-to-energy advantage (900 vs 1700 sweeps at B=64, round 3) outweighs
+the 6-20% sweep-cost edge of smaller blocks.
 """
 
 from __future__ import annotations

@@ -9,11 +9,18 @@ of the next level.  The warm start is *only* an initializer — any message
 state is a valid dual point — so the fine-level bound and stopping rule keep
 their exact TRW-S semantics.
 
-Empirical note (v5e, baby2-scale synthetics): the checkerboard solver already
-reaches its LP plateau (the integrality-gap floor of the relaxation) within a
-few thousand cheap sweeps, so the pyramid mostly pays off on harder/larger
-instances; it never hurts correctness — any message state is a valid dual
-point.
+STATUS: EXPERIMENTAL — no regime where the pyramid pays has been found.
+On baby2-scale workloads the checkerboard solver reaches its LP plateau
+within a few thousand cheap sweeps without it.  A purpose-built long-range
+instance (round 5: 256x512, informative unaries only at the left/right
+border columns, strong smoothness carrying the split across 500+ pixels —
+the best case for coarse-grid information transport) was measured and the
+pyramid LOST: at ~50 fine-equivalent sweeps the warm-started fine level
+decodes E=113k vs the cold solver's 90k at 30 sweeps; at ~133 equivalents
+124k-49.5k vs cold's 47k at 100.  The upsampled coarse messages bias the
+fine dual toward block-constant splits that the fine schedule must first
+undo.  Correctness is unaffected (any message state is a valid dual
+point); kept as a recorded experiment, not a production path.
 
 Coarsening rules: unaries are summed over each block (a block acts as one
 pixel taking one label), positions are averaged, directed-edge weights sum

@@ -311,6 +311,8 @@ def solve(
     check_every: int = 1,  # decode + test the stopping rule every N iterations
     message_dtype=None,  # e.g. jnp.bfloat16: narrow message *storage*
     compact: bool | None = None,  # checkerboard H-compaction (None = auto)
+    pad_tiles: bool | None = None,  # pad compact layout to the kernel tile
+                                    # grid once (None = auto: pallas on)
 ) -> TRWSResult:
     """Run checkerboard TRW-S (or plain loopy BP) to the reference's
     stopping rule.
@@ -381,11 +383,50 @@ def solve(
         pix2 = (checker.compact_h(pix_full, 0),
                 checker.compact_h(pix_full, 1), H)
 
-        def to_compact(M):
-            return ch(M)
+        # Pad the whole compact layout to the fused kernel's tile grid ONCE
+        # so the per-sweep kernel calls see aligned shapes and their
+        # internal pad/slice become no-ops.  The message state lives padded
+        # across sweeps (measured v5e, baby2 K=15: per-phase padding of the
+        # M-dependent arrays cost ~0.13 ms/sweep of pure copy traffic —
+        # 0.725 -> 0.594 ms with aligned shapes).  Padding is inert:
+        # padded pixels carry theta = alphas = valid = pix = gamma = 0, so
+        # their messages stay 0 and every consumer masks them; real-border
+        # pixels pull zeros from padding exactly where the unpadded rolls
+        # pulled valid-zeroed wrap values (bitwise-pinned by
+        # tests/test_trws_compact.py against the unpadded layout).
+        if pad_tiles is None:
+            pad_tiles = (use_pallas if use_pallas is not None
+                         else jax.default_backend() == "tpu")
+        Hc0, W0 = theta2[0].shape[-2:]
+        pad_h = pad_w = 0
+        if pad_tiles:
+            from stereo_tpu.ops.phase_kernel import compact_tile_width
 
-        def to_full(M2):
-            return checker.expand_h(M2[0], M2[1], H)
+            tw = compact_tile_width(K, W)
+            if tw is not None:
+                pad_h = (-Hc0) % 8
+                pad_w = (-W0) % tw
+        if pad_h or pad_w:
+            pr = lambda a: jnp.pad(
+                a, [(0, 0)] * (a.ndim - 2) + [(0, pad_h), (0, pad_w)])
+            pt = lambda t: (pr(t[0]), pr(t[1]))
+            theta2, D02, Q2, alphas2, valid2, gamma2 = map(
+                pt, (theta2, D02, Q2, alphas2, valid2, gamma2))
+            pix2 = (pr(pix2[0]), pr(pix2[1]), H)
+
+            def to_compact(M):
+                M2 = ch(M)
+                return (pr(M2[0]), pr(M2[1]))
+
+            def to_full(M2):
+                return checker.expand_h(M2[0][..., :Hc0, :W0],
+                                        M2[1][..., :Hc0, :W0], H)
+        else:
+            def to_compact(M):
+                return ch(M)
+
+            def to_full(M2):
+                return checker.expand_h(M2[0], M2[1], H)
 
     def message_passes(M):
         """check_every forward+backward sweeps; LB from the last sweep."""
@@ -494,7 +535,8 @@ class TRWSRun:
 
     def __init__(self, unary, positions, nbr_positions, alphas, *, kernel,
                  tol, mode: str = "trws", use_pallas: bool | None = None,
-                 compact: bool | None = None, message_dtype=None):
+                 compact: bool | None = None, message_dtype=None,
+                 pad_tiles: bool | None = None):
         if mode not in ("trws", "bp"):
             raise ValueError(f"unknown mode {mode!r}")
         K, H, W = unary.shape
@@ -515,6 +557,20 @@ class TRWSRun:
             else:
                 compact = False
         self.compact = compact
+        # pad-once tile alignment (see solve's compact branch)
+        if pad_tiles is None:
+            pad_tiles = (use_pallas if use_pallas is not None
+                         else jax.default_backend() == "tpu")
+        Hc0 = -(-H // 2)
+        pad_h = pad_w = 0
+        if compact and pad_tiles:
+            from stereo_tpu.ops.phase_kernel import compact_tile_width
+
+            tw = compact_tile_width(K, W)
+            if tw is not None:
+                pad_h = (-Hc0) % 8
+                pad_w = (-W) % tw
+        self._pads = (Hc0, W, pad_h, pad_w)
 
         import functools
 
@@ -533,7 +589,8 @@ class TRWSRun:
                 return full, None
             from stereo_tpu.ops import checker
 
-            ch = lambda a: (checker.compact_h(a, 0), checker.compact_h(a, 1))
+            ch = lambda a: (self._pad2(checker.compact_h(a, 0)),
+                            self._pad2(checker.compact_h(a, 1)))
             pix_full = jnp.ones((H, W), theta.dtype)
             comp = (*map(ch, (theta, D0, Q, alphas, valid, gamma)),
                     ch(pix_full))
@@ -546,6 +603,12 @@ class TRWSRun:
         self._msg_jit = None
 
     # ------------------------------------------------------------- state
+    def _pad2(self, a):
+        _, _, pad_h, pad_w = self._pads
+        if not (pad_h or pad_w):
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pad_h), (0, pad_w)])
+
     def init_state(self, messages=None):
         """Message state in storage layout (compact pair or full buffer)."""
         if messages is None:
@@ -559,7 +622,8 @@ class TRWSRun:
             from stereo_tpu.ops import checker
 
             self._init_jit = jax.jit(
-                lambda M: (checker.compact_h(M, 0), checker.compact_h(M, 1)))
+                lambda M: (self._pad2(checker.compact_h(M, 0)),
+                           self._pad2(checker.compact_h(M, 1))))
         return self._init_jit(messages)
 
     def messages(self, state):
@@ -567,11 +631,7 @@ class TRWSRun:
         if not self.compact:
             return state
         if self._msg_jit is None:
-            from stereo_tpu.ops import checker
-
-            H = self.H
-            self._msg_jit = jax.jit(
-                lambda M2: checker.expand_h(M2[0], M2[1], H))
+            self._msg_jit = jax.jit(self._expand)
         return self._msg_jit(state)
 
     # -------------------------------------------------------------- runs
@@ -659,7 +719,9 @@ class TRWSRun:
     def _expand(self, M2):
         from stereo_tpu.ops import checker
 
-        return checker.expand_h(M2[0], M2[1], self.H)
+        Hc0, W0, _, _ = self._pads
+        return checker.expand_h(M2[0][..., :Hc0, :W0],
+                                M2[1][..., :Hc0, :W0], self.H)
 
     def solve(self, maxiter: int = 1000, max_relgap: float = 1e-4,
               check_every: int = 8, chunk: int = 300, messages=None):

@@ -49,6 +49,45 @@ def test_compact_solve_matches_standard(kernel, K, H, W, mode):
     assert int(got.iterations) == int(ref.iterations)
 
 
+@pytest.mark.parametrize("K,H,W", [(4, 9, 10), (3, 16, 21)])
+def test_compact_padded_layout_bitwise(K, H, W):
+    """The pad-once tile-aligned compact layout (pad_tiles=True, the state
+    the TPU pallas path runs on) is BITWISE the unpadded compact solve:
+    padded pixels carry zero theta/alphas/valid/pix and their messages stay
+    zero, while real-border pixels pull padding zeros exactly where the
+    unpadded rolls pulled valid-zeroed wrap values."""
+    theta, D0, Q, alphas = _problem(K, H, W, seed=K + W)
+    kw = dict(kernel=1, tol=1.3, maxiter=5, max_relgap=0.0, check_every=1,
+              use_pallas=False, compact=True)
+    ref = trws.solve(theta, D0, Q, alphas, **kw, pad_tiles=False)
+    got = trws.solve(theta, D0, Q, alphas, **kw, pad_tiles=True)
+    assert float(got.energy) == float(ref.energy)
+    assert float(got.lower_bound) == float(ref.lower_bound)
+    np.testing.assert_array_equal(np.asarray(got.labels),
+                                  np.asarray(ref.labels))
+    np.testing.assert_array_equal(np.asarray(got.messages),
+                                  np.asarray(ref.messages))
+
+    # TRWSRun carries the same padded state; trajectory stays bitwise
+    r = trws.TRWSRun(theta, D0, Q, alphas, kernel=1, tol=1.3,
+                     use_pallas=False, compact=True, pad_tiles=True)
+    st = r.init_state()
+    st, e, lb, labels = r.run(st, 5, 5)
+    np.testing.assert_array_equal(np.asarray(r.messages(st)),
+                                  np.asarray(ref.messages))
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(ref.labels))
+
+    # warm-started messages round-trip the padded layout bitwise
+    got2 = trws.solve(theta, D0, Q, alphas, kernel=1, tol=1.3, maxiter=2,
+                      max_relgap=0.0, check_every=1, use_pallas=False,
+                      compact=True, pad_tiles=True, messages=ref.messages)
+    ref2 = trws.solve(theta, D0, Q, alphas, kernel=1, tol=1.3, maxiter=2,
+                      max_relgap=0.0, check_every=1, use_pallas=False,
+                      compact=True, pad_tiles=False, messages=ref.messages)
+    np.testing.assert_array_equal(np.asarray(got2.messages),
+                                  np.asarray(ref2.messages))
+
+
 def test_compact_warm_start_parity():
     theta, D0, Q, alphas = _problem(3, 8, 9, seed=7)
     kw = dict(kernel=1, tol=0.9, max_relgap=0.0, use_pallas=False)
