@@ -220,7 +220,11 @@ def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
     # (round-4 review: 5 samples spanning 3x is a floor, not a measurement)
     lo, hi = 200, 1200
     per_sweep = sorted((timed(hi) - timed(lo)) / (hi - lo) for _ in range(9))
-    marg = per_sweep[len(per_sweep) // 2]
+    # a dispatch-variance spike on the lo leg can make a marginal negative;
+    # such samples are physically meaningless — publish them (the spread is
+    # part of the measurement) but take the median of the positive ones
+    positive = [s for s in per_sweep if s > 0] or per_sweep
+    marg = positive[len(positive) // 2]
     direct = timed(hi) / hi  # upper bound: includes the fixed overhead
     sol = rf["compact"]["sol_ms"] / 1e3
     consistent = (0.5 * sol <= marg <= direct * 1.05)
@@ -278,9 +282,32 @@ def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
         swept += chunk
         e_best = min(e_best, float(e))
     out["banded_block"] = band
-    out["banded_sweep_ms"] = round(t_tpu / swept * 1e3, 2)
-    out["banded_vs_sol"] = round(
-        (t_tpu / swept * 1e3) / rf["banded"]["sol_ms"], 2)
+    # marginal sweep cost: the race loop's t_tpu/swept folds ~35-45 ms of
+    # per-chunk eager dispatch into every `chunk` sweeps and moves with box
+    # load; difference two chunk sizes on a fresh state instead
+    st_m = runner.init_state()
+    _, e_m, _, _ = runner.run(st_m, 100, 100)
+    jax.block_until_ready(e_m)
+    marg_b = []
+    for _ in range(5):
+        st_m = runner.init_state()
+        t0 = time.perf_counter()
+        st_m, e_m, _, _ = runner.run(st_m, 100, 100)
+        jax.block_until_ready(e_m)
+        t_lo = time.perf_counter() - t0
+        st_m = runner.init_state()
+        t0 = time.perf_counter()
+        st_m, e_m, _, _ = runner.run(st_m, 400, 400)
+        jax.block_until_ready(e_m)
+        marg_b.append((time.perf_counter() - t0 - t_lo) / 300)
+    marg_b.sort()
+    pos_b = [s for s in marg_b if s > 0] or marg_b
+    bs = pos_b[len(pos_b) // 2]
+    out["banded_sweep_ms_samples"] = [round(s * 1e3, 3) for s in marg_b]
+    out["banded_sweep_ms"] = round(bs * 1e3, 2)
+    out["banded_vs_sol"] = round((bs * 1e3) / rf["banded"]["sol_ms"], 2)
+    out["banded_race_ms_per_sweep_incl_dispatch"] = round(
+        t_tpu / swept * 1e3, 2)
     out["simultaneous_tpu_s"] = round(t_tpu, 1)
     out["simultaneous_tpu_sweeps"] = swept
     out["simultaneous_energy_ratio"] = round(e_best / e_host, 6)
@@ -295,7 +322,7 @@ def run_extras(max_sweeps=4000, chunk=100, band=128, decode_every=50):
     return out
 
 
-def run_k79(host_iters=60, chunk=5, band=128, max_sweeps=600):
+def run_k79(host_iters=60, chunk=5, band=(375, 256), max_sweeps=600):
     """The large-K regime (SURVEY example_ncc: teddy, K=79 labels).
 
     Round-4 measurements fixed the design here: the O(K) envelope DT stays
@@ -349,9 +376,14 @@ def run_k79(host_iters=60, chunk=5, band=128, max_sweeps=600):
     out["host_s"] = round(t_host, 1)
     out["host_energy"] = round(e_host, 1)
 
+    # B=(375,256) is the one block shape whose fused-kernel windows fit
+    # VMEM at K=79 (ops/banded_kernel.vmem_estimate: 13.9 MB vs 27.8 at
+    # B=128) — the race runs the fully-fused kernel there (62.8 ms/sweep
+    # vs the scan path's 129 at B=128)
+    Bh, Bw = band if isinstance(band, tuple) else (band, band)
     runner = banded.BandedRun(unary, D0, Q, alphas,
                               kernel=dm.smoothness_kernel, tol=dm.tol,
-                              Bh=band, Bw=band)
+                              Bh=Bh, Bw=Bw)
     st = runner.init_state()
     st, e0, _, _ = runner.run(st, chunk, chunk)  # compile
     jax.block_until_ready(e0)
@@ -364,7 +396,8 @@ def run_k79(host_iters=60, chunk=5, band=128, max_sweeps=600):
         t_tpu += time.perf_counter() - t0
         swept += chunk
         e_best = min(e_best, float(e))
-    out["banded_block"] = band
+    out["banded_block"] = list(band) if isinstance(band, tuple) else band
+    out["sweep_path"] = "fused" if runner.uses_fused_kernel else "scan"
     out["tpu_sweeps"] = swept
     out["tpu_s"] = round(t_tpu, 1)
     out["tpu_energy"] = round(e_best, 1)

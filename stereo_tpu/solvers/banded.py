@@ -807,6 +807,12 @@ class BandedRun:
         self.K, self.H, self.W = K, H, W
         self.dtype = unary.dtype
 
+    @property
+    def uses_fused_kernel(self) -> bool:
+        """True when sweeps run the fully-fused Pallas kernel (VMEM gate
+        passed); False = the (exact) per-step scan path."""
+        return self._packed is not None
+
     def init_state(self, messages=None):
         if messages is None:
             messages = jnp.zeros((4, self.K, self.H, self.W), self.dtype)
