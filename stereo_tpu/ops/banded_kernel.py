@@ -85,13 +85,13 @@ def _send_head2(gD2, Mold, Q, D02, alpha, kernel, tol, K):
     so the two directions no longer share source data.  Target rows walk in
     KT blocks (wavefront_kernel.KT) to bound live temporaries; min is
     exact, so this is bitwise the flat walk."""
-    from stereo_tpu.ops.wavefront_kernel import KT
+    from stereo_tpu.ops.wavefront_kernel import kt_for
 
     Kp = Mold.shape[1]
     Hs = gD2 - Mold
     outs = []
-    for i0 in range(0, K, KT):
-        sl = slice(i0, min(i0 + KT, K))
+    for i0 in range(0, K, kt_for(K)):
+        sl = slice(i0, min(i0 + kt_for(K), K))
         Qb = Q[:, sl]
         acc = None
         for kh in range(K):
@@ -117,13 +117,13 @@ def _send_tail2(gDt, Mold, Q, D02, alpha, kernel, tol, K):
     gDt/Mold/Q/D02: [2, Kp, LANE]; alpha: [2, LANE].  Like
     wavefront_kernel._send_tail but with D0 stacked per direction (the two
     seam targets are different nodes).  Source rows walk in KT blocks."""
-    from stereo_tpu.ops.wavefront_kernel import KT
+    from stereo_tpu.ops.wavefront_kernel import kt_for
 
     Kp = Mold.shape[1]
     Hs = gDt - Mold
     kt = lax.broadcasted_iota(jnp.int32, Hs.shape, 1)
     Hs = jnp.where(kt < K, Hs, BIG)
-    src_blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
+    src_blocks = [slice(i0, min(i0 + kt_for(K), K)) for i0 in range(0, K, kt_for(K))]
     outs = []
     for kh in range(K):
         m = None

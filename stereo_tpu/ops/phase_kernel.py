@@ -89,7 +89,11 @@ def _kernel_compact(tol_ref, gD_ref, gDn_ref, Ms_ref, Mo_ref, Qs_ref, Qo_ref,
     D0s = D0s_ref[...]
     D0o = D0o_ref[...]
     cdtype = gD.dtype
-    KT = 8  # target-block size: live intermediates stay [KT, th, tw]
+    # target-block size: live intermediates stay [KT, th, tw].  KT=16 was
+    # A/B'd on v5e (round 5, K=15 baby2 shapes): 0.225 -> 0.291 ms/call —
+    # WORSE here (unlike the banded sends' kt_for, where 16 won ~7%); the
+    # tile body's [KT, th, tw] blocks already fill the VPU at 8.
+    KT = 8
     blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
     for d in range(4):
         # variant B at s-heads: msg[i] = min_j HB[j] + a*TR(Q_i - D0_j),

@@ -72,6 +72,16 @@ KT = 8  # target/source-block size for the sends' (kt, kh) walks: live
 # ops/phase_kernel.py's KT blocks).
 
 
+def kt_for(K: int) -> int:
+    """Send-walk block size for label count K.  Measured (v5e, round 5,
+    baby2 K=15 banded B=128): KT=16 sweeps 3.12 -> 2.92 ms (-6.6%; KT=24
+    equal within noise), labels bitwise across KT by min-exactness — but
+    live temporaries scale with KT, and KT=8 is what keeps the K~80 fused
+    windows under Mosaic's scoped-vmem limit, so large K stays at 8
+    (K=79 B=(375,256) verified bitwise at both)."""
+    return 16 if K <= 32 else KT
+
+
 def _send_head(gD, Mold, Q, D0, alpha, kernel, tol, K):
     """msg'[kt] = min_kh(gD[kh] - Mold[kh] + a*TR(Q[kt]-D0[kh])), normalized.
 
@@ -82,8 +92,8 @@ def _send_head(gD, Mold, Q, D0, alpha, kernel, tol, K):
     Kp = Mold.shape[1]
     Hs = gD[None] - Mold  # [2, Kp, Hp]
     outs = []
-    for i0 in range(0, K, KT):
-        sl = slice(i0, min(i0 + KT, K))
+    for i0 in range(0, K, kt_for(K)):
+        sl = slice(i0, min(i0 + kt_for(K), K))
         Qb = Q[:, sl]
         acc = None
         for kh in range(K):  # real labels only
@@ -112,7 +122,7 @@ def _send_tail(gDt, Mold, Q, D0, alpha, kernel, tol, K):
     Hs = gDt - Mold  # [2, Kp, Hp]
     kt = lax.broadcasted_iota(jnp.int32, Hs.shape, 1)
     Hs = jnp.where(kt < K, Hs, BIG)  # exclude pad sources from the min
-    src_blocks = [slice(i0, min(i0 + KT, K)) for i0 in range(0, K, KT)]
+    src_blocks = [slice(i0, min(i0 + kt_for(K), K)) for i0 in range(0, K, kt_for(K))]
     outs = []
     for kh in range(K):
         m = None
